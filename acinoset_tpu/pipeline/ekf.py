@@ -1,0 +1,171 @@
+"""EKF pipeline — cheetah state-space smoothing over a run.
+
+Rebuild of the reference `ekf()` entry point
+(AcinoSet src/all_optimizations.py:569-865) on top of
+`solvers.ekf.run_ekf` (a lax.scan program with exact autodiff
+Jacobians). Initialization mirrors the reference: linear regression of
+the triangulated nose track fixes the initial planar position, velocity
+and heading (:699-711); initial covariance and process noise use the
+reference's constants (:713-754).
+"""
+from __future__ import annotations
+
+import os
+from glob import glob
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import cheetah
+from ..ops import camera as cam_ops
+from ..solvers import ekf as ekf_solver
+from . import app
+from . import data as data_io
+from .tri import triangulate_run
+
+
+def nose_track_linreg(positions: np.ndarray, frames: np.ndarray, marker_idx: int):
+    """Linear regression of a marker's triangulated track over frame index.
+
+    Returns (x_slope, x_int, y_slope, y_int, z_slope, z_int) with NaN
+    frames ignored (reference used scipy.stats.linregress, :701-707).
+    """
+    track = positions[:, marker_idx]  # (N, 3)
+    ok = np.isfinite(track).all(axis=1)
+    f = frames[ok].astype(np.float64)
+    out = []
+    for d in range(3):
+        y = track[ok, d]
+        if len(f) < 2:
+            out.extend([0.0, float(np.nanmean(y)) if len(y) else 0.0])
+            continue
+        slope, intercept = np.polyfit(f, y, 1)
+        out.extend([float(slope), float(intercept)])
+    return tuple(out)
+
+
+def make_h_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
+    """pose25 -> (C, L, 2) predicted pixels through FK + fisheye projection."""
+    k = jnp.asarray(k_arr, dtype)
+    d = jnp.asarray(d_arr, dtype).reshape(k.shape[0], -1)[:, :4]
+    r = jnp.asarray(r_arr, dtype)
+    t = jnp.asarray(t_arr, dtype).reshape(k.shape[0], 3)
+
+    def h(pose25):
+        pts = cheetah.fk25(pose25)  # (L, 3)
+        return jax.vmap(
+            lambda K, D, R, T: cam_ops.project_points_fisheye(pts, K, D, R, T)
+        )(k, d, r, t)
+
+    return h
+
+
+def run_cheetah_ekf(
+    pixels: np.ndarray,  # (N, C, L, 2)
+    likelihood: np.ndarray,  # (N, C, L)
+    k_arr, d_arr, r_arr, t_arr,
+    fps: float,
+    cam_res,
+    dlc_thresh: float,
+    x0_pose: Optional[np.ndarray] = None,
+    dtype=jnp.float64,
+) -> Dict:
+    """Functional core: run EKF + RTS over one window. Returns states dict."""
+    n_pose = cheetah.N_ACTIVE
+    cfg = ekf_solver.EkfConfig(
+        dt=1.0 / fps,
+        dlc_thresh=dlc_thresh,
+        meas_std_px=cheetah.MEAS_STD_PX,
+        max_pixel_err=float(cam_res[0]),
+    )
+    # initial covariance (:713-731)
+    p_lin_pos = np.ones(3) * 3**2
+    p_ang_pos = np.ones(n_pose - 3) * (np.pi / 4) ** 2
+    p_lin_vel = np.ones(3) * 5**2
+    p_ang_vel = np.ones(n_pose - 3) * 3**2
+    p_lin_acc = np.ones(3) * 3**2
+    p_ang_acc = np.ones(n_pose - 3) * 3**2
+    p_ang_acc[10:] = 5**2
+    P0 = np.diag(
+        np.concatenate([p_lin_pos, p_ang_pos, p_lin_vel, p_ang_vel, p_lin_acc, p_ang_acc])
+    )
+
+    x0 = np.zeros(3 * n_pose)
+    if x0_pose is not None:
+        x0[: len(x0_pose)] = np.asarray(x0_pose).reshape(-1)[: 3 * n_pose]
+
+    h_fn = make_h_fn(k_arr, d_arr, r_arr, t_arr, dtype)
+    out = ekf_solver.run_ekf(
+        h_fn,
+        jnp.asarray(pixels, dtype),
+        jnp.asarray(np.nan_to_num(likelihood, nan=-1.0), dtype),
+        jnp.asarray(x0, dtype),
+        jnp.asarray(P0, dtype),
+        cheetah.EKF_QB,
+        cfg,
+    )
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def ekf(
+    data_dir: str,
+    start_frame: int,
+    end_frame: int,
+    dlc_thresh: float,
+    out_dir: Optional[str] = None,
+    save: bool = True,
+) -> Dict:
+    """CLI-contract entry point (1-based start_frame like the reference)."""
+    out_dir = out_dir or os.path.join(data_dir, "ekf")
+    dlc_dir = os.path.join(data_dir, "dlc")
+    assert os.path.exists(dlc_dir)
+
+    k_arr, d_arr, r_arr, t_arr, cam_res, n_cams, scene_fpath = data_io.find_scene_file(
+        data_dir, verbose=False
+    )
+    _res, fps, tot_frames, _ = app.get_vid_info(data_dir)
+    if end_frame == -1:
+        end_frame = tot_frames
+    start0 = start_frame - 1
+
+    fpaths = sorted(glob(os.path.join(dlc_dir, "*.h5")))
+    assert len(fpaths) == n_cams
+    markers = cheetah.get_markers()
+    p2d = data_io.load_dlc_points(fpaths, markers=markers)
+    win = p2d.window(start0, end_frame)
+
+    # init from triangulated nose track (:699-711)
+    tri_pos = triangulate_run(
+        np.nan_to_num(win.pixels), win.valid(dlc_thresh), k_arr, d_arr, r_arr, t_arr
+    )
+    xi = cheetah.get_pose_params()
+    x0_pose = np.zeros(cheetah.N_ACTIVE * 3)
+    nose = markers.index("nose")
+    xs, xi_, ys, yi_, _zs, _zi = nose_track_linreg(tri_pos, win.frames, nose)
+    sT = 1.0 / fps
+    x0_pose[xi["x_0"]] = start0 * xs + xi_
+    x0_pose[xi["y_0"]] = start0 * ys + yi_
+    x0_pose[xi["psi_0"]] = np.arctan2(ys, xs)
+    v = cheetah.N_ACTIVE
+    x0_pose[v + xi["x_0"]] = xs / sT
+    x0_pose[v + xi["y_0"]] = ys / sT
+
+    states = run_cheetah_ekf(
+        win.pixels.transpose(1, 0, 2, 3),
+        win.likelihood.transpose(1, 0, 2),
+        k_arr, d_arr, r_arr, t_arr,
+        fps, cam_res, dlc_thresh,
+        x0_pose=x0_pose,
+    )
+    positions = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(states["smoothed_x"])))
+    keep = dict(
+        x=states["x"], dx=states["dx"], ddx=states["ddx"],
+        smoothed_x=states["smoothed_x"], smoothed_dx=states["smoothed_dx"],
+        smoothed_ddx=states["smoothed_ddx"],
+    )
+    if save:
+        os.makedirs(out_dir, exist_ok=True)
+        app.save_ekf(keep, out_dir, scene_fpath, start0, dlc_thresh, positions=positions)
+    return dict(positions=positions, states=keep, outliers=int(states["outliers"]))

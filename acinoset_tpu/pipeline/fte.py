@@ -1,0 +1,147 @@
+"""FTE pipeline — full-trajectory estimation for the cheetah model.
+
+Rebuild of the reference `fte()` entry point
+(AcinoSet src/all_optimizations.py:22-566) on top of
+`solvers.trajopt.fte_solve` (banded Gauss-Newton replacing
+Pyomo->IPOPT). The measurement weighting, redescending loss constants,
+initialization (nose-track linear regression + initial yaw) and output
+schema all follow the reference; the solve itself is a fixed-iteration
+jit program that `vmap`s across trajectories.
+"""
+from __future__ import annotations
+
+import os
+from glob import glob
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import cheetah
+from ..ops import camera as cam_ops
+from ..solvers import trajopt
+from . import app
+from . import data as data_io
+from .ekf import make_h_fn, nose_track_linreg
+from .tri import triangulate_run
+
+
+def default_config(fps: float, num_iters: int = 60) -> trajopt.FteConfig:
+    lo, hi = cheetah.pose_limits_25()
+    return trajopt.FteConfig(
+        Ts=1.0 / fps,
+        q_var=tuple(cheetah.Q_VAR[cheetah.ACTIVE_IDX_ORDERED]),
+        lo=tuple(lo),
+        hi=tuple(hi),
+        meas_std_px=cheetah.MEAS_STD_PX,
+        redesc=(cheetah.REDESC_A, cheetah.REDESC_B, cheetah.REDESC_C),
+        num_iters=num_iters,
+    )
+
+
+def initial_trajectory(
+    pixels, likelihood, k_arr, d_arr, r_arr, t_arr, frames, dlc_thresh
+) -> np.ndarray:
+    """Linear-regression init (src/all_optimizations.py:269-277,334-337):
+    triangulated nose track -> straight-line x/y/z + initial yaw psi_0."""
+    markers = cheetah.get_markers()
+    tri_pos = triangulate_run(
+        np.nan_to_num(pixels), np.nan_to_num(likelihood, nan=-1.0) > dlc_thresh,
+        k_arr, d_arr, r_arr, t_arr,
+    )
+    nose = markers.index("nose")
+    xs, xi, ys, yi, zs, zi = nose_track_linreg(tri_pos, frames, nose)
+    N = pixels.shape[1]
+    P = cheetah.N_ACTIVE
+    pp = cheetah.get_pose_params()
+    X0 = np.zeros((N, P))
+    f = frames.astype(np.float64)
+    X0[:, pp["x_0"]] = f * xs + xi
+    X0[:, pp["y_0"]] = f * ys + yi
+    X0[:, pp["z_0"]] = f * zs + zi
+    X0[:, pp["psi_0"]] = np.arctan2(ys, xs)
+    return X0
+
+
+def fte_run(
+    pixels: np.ndarray,  # (C, N, L, 2)
+    likelihood: np.ndarray,  # (C, N, L)
+    k_arr, d_arr, r_arr, t_arr,
+    fps: float,
+    dlc_thresh: float,
+    frames: Optional[np.ndarray] = None,
+    num_iters: int = 60,
+    dtype=jnp.float64,
+) -> Dict:
+    """Functional core: solve one trajectory. Returns positions + states."""
+    C, N, L, _ = pixels.shape
+    frames = frames if frames is not None else np.arange(N)
+    cfg = default_config(fps, num_iters=num_iters)
+
+    X0 = initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr, frames, dlc_thresh)
+
+    h_fn = make_h_fn(k_arr, d_arr, r_arr, t_arr, dtype)
+    meas = jnp.asarray(pixels.transpose(1, 0, 2, 3), dtype)  # (N, C, L, 2)
+    lik = np.nan_to_num(likelihood.transpose(1, 0, 2), nan=-1.0)
+    w_meas = jnp.asarray((lik > dlc_thresh) / cfg.meas_std_px, dtype)
+
+    X, info = jax.jit(
+        lambda X0_, meas_, w_: trajopt.fte_solve(h_fn, X0_, meas_, w_, cfg)
+    )(jnp.asarray(X0, dtype), meas, w_meas)
+
+    positions = np.asarray(jax.vmap(cheetah.fk25)(X))
+    dx, ddx = trajopt.derivatives_from_trajectory(X, cfg.Ts)
+    return dict(
+        positions=positions,
+        x=np.asarray(X),
+        dx=np.asarray(dx),
+        ddx=np.asarray(ddx),
+        cost=float(info["cost"]),
+        cost0=float(info["cost0"]),
+        cost_history=np.asarray(info["cost_history"]),
+    )
+
+
+def fte(
+    data_dir: str,
+    start_frame: int,
+    end_frame: int,
+    dlc_thresh: float,
+    out_dir: Optional[str] = None,
+    save: bool = True,
+    num_iters: int = 60,
+) -> Dict:
+    """CLI-contract entry point (1-based start_frame like the reference)."""
+    out_dir = out_dir or os.path.join(data_dir, "fte")
+    dlc_dir = os.path.join(data_dir, "dlc")
+    assert os.path.exists(dlc_dir)
+
+    k_arr, d_arr, r_arr, t_arr, cam_res, n_cams, scene_fpath = data_io.find_scene_file(
+        data_dir, verbose=False
+    )
+    _res, fps, tot_frames, _ = app.get_vid_info(data_dir)
+    if end_frame == -1:
+        end_frame = tot_frames
+    start0 = start_frame - 1
+
+    fpaths = sorted(glob(os.path.join(dlc_dir, "*.h5")))
+    markers = cheetah.get_markers()
+    p2d = data_io.load_dlc_points(fpaths, markers=markers)
+    win = p2d.window(start0, end_frame)
+
+    result = fte_run(
+        win.pixels, win.likelihood, k_arr, d_arr, r_arr, t_arr, fps, dlc_thresh,
+        frames=win.frames, num_iters=num_iters,
+    )
+    if save:
+        os.makedirs(out_dir, exist_ok=True)
+        states = dict(x=result["x"], dx=result["dx"], ddx=result["ddx"], start_frame=start0)
+        app.save_optimised_cheetah(
+            result["positions"], os.path.join(out_dir, "fte.pickle"), extra_data=states
+        )
+        app.save_3d_cheetah_as_2d(
+            result["positions"], out_dir, scene_fpath, markers,
+            cam_ops.project_points_fisheye, start0,
+        )
+    return result

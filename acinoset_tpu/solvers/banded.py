@@ -1,0 +1,112 @@
+"""Block-banded Cholesky factorization + solve via `lax.scan`.
+
+The FTE collocation normal equations are block-banded in time: frame n
+couples only to frames n-3..n+3 (third-difference smoothness stencil),
+with dense PxP diagonal blocks from the measurement Gauss-Newton terms.
+This module factors and solves such systems with sequential scans over
+the time axis — the TPU-native替代 for IPOPT's general sparse
+factorization (ma86/MUMPS): `vmap` over a batch of trajectories turns
+every PxP block op into one big batched MXU matmul.
+
+Band convention: ``bands[k]`` has shape (N, P, P) and holds block
+(n, n-k) at index n (zero for n < k). The matrix is symmetric; only the
+lower bands are stored. Bandwidth q is static (q=3 for FTE).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _tri_solve_right(L, B):
+    """Solve X @ L.T = B for X, with L lower-triangular: X = B L^{-T}."""
+    # solve L X^T = B^T  -> X^T = L^{-1} B^T
+    return jax.scipy.linalg.solve_triangular(L, B.T, lower=True).T
+
+
+def block_banded_cholesky(bands: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Factor a symmetric positive-definite block-banded matrix.
+
+    bands: [A0, A1, ..., Aq] with Ak[n] = block (n, n-k); A0 is the
+    diagonal. Returns L bands in the same convention (L0 lower-
+    triangular Cholesky factors on the diagonal).
+    """
+    q = len(bands) - 1
+    N, P, _ = bands[0].shape
+    dtype = bands[0].dtype
+    eye = jnp.eye(P, dtype=dtype)
+
+    if q != 3:
+        raise NotImplementedError("block_banded_cholesky currently supports bandwidth 3")
+
+    A0, A1, A2, A3 = bands
+
+    def step(carry, inp):
+        # carry: rows n-1, n-2, n-3 -> tuples (L0, L1, L2) per row
+        (L0_1, L1_1, L2_1), (L0_2, L1_2, L2_2), (L0_3, _, _) = carry
+        a0, a1, a2, a3 = inp
+
+        L3 = _tri_solve_right(L0_3, a3)
+        L2 = _tri_solve_right(L0_2, a2 - L3 @ L1_2.T)
+        L1 = _tri_solve_right(L0_1, a1 - L3 @ L2_1.T - L2 @ L1_1.T)
+        S = a0 - L1 @ L1.T - L2 @ L2.T - L3 @ L3.T
+        L0 = jnp.linalg.cholesky(S)
+
+        new_carry = ((L0, L1, L2), (L0_1, L1_1, L2_1), (L0_2, L1_2, L2_2))
+        return new_carry, (L0, L1, L2, L3)
+
+    zeros = jnp.zeros((P, P), dtype=dtype)
+    init_row = (eye, zeros, zeros)
+    carry0 = (init_row, init_row, init_row)
+    _, (L0, L1, L2, L3) = jax.lax.scan(step, carry0, (A0, A1, A2, A3))
+    return [L0, L1, L2, L3]
+
+
+def block_banded_solve(L_bands: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b given the Cholesky bands of A. b: (N, P)."""
+    L0, L1, L2, L3 = L_bands
+    N, P = b.shape
+    dtype = b.dtype
+    zeros = jnp.zeros(P, dtype=dtype)
+
+    # forward: L y = b
+    def fwd(carry, inp):
+        y1, y2, y3 = carry
+        L0n, L1n, L2n, L3n, bn = inp
+        rhs = bn - L1n @ y1 - L2n @ y2 - L3n @ y3
+        y = jax.scipy.linalg.solve_triangular(L0n, rhs, lower=True)
+        return (y, y1, y2), y
+
+    _, y = jax.lax.scan(fwd, (zeros, zeros, zeros), (L0, L1, L2, L3, b))
+
+    # backward: L^T x = y ; x[n] needs L1[n+1], L2[n+2], L3[n+3]
+    pad = jnp.zeros((3, P, P), dtype=dtype)
+    L1s = jnp.concatenate([L1[1:], pad[:1]])  # L1s[n] = L1[n+1]
+    L2s = jnp.concatenate([L2[2:], pad[:2]])
+    L3s = jnp.concatenate([L3[3:], pad[:3]])
+
+    def bwd(carry, inp):
+        x1, x2, x3 = carry  # x[n+1], x[n+2], x[n+3]
+        L0n, L1n1, L2n2, L3n3, yn = inp
+        rhs = yn - L1n1.T @ x1 - L2n2.T @ x2 - L3n3.T @ x3
+        x = jax.scipy.linalg.solve_triangular(L0n, rhs, lower=True, trans=1)
+        return (x, x1, x2), x
+
+    _, x = jax.lax.scan(bwd, (zeros, zeros, zeros), (L0, L1s, L2s, L3s, y), reverse=True)
+    return x
+
+
+def banded_matvec(bands: Sequence[jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x for the symmetric block-banded A (testing utility)."""
+    q = len(bands) - 1
+    N, P = x.shape
+    y = jnp.einsum("nij,nj->ni", bands[0], x)
+    for k in range(1, q + 1):
+        Ak = bands[k]
+        # lower part: block (n, n-k) times x[n-k]
+        y = y.at[k:].add(jnp.einsum("nij,nj->ni", Ak[k:], x[:-k]))
+        # upper part: block (n, n+k) = Ak[n+k]^T times x[n+k]
+        y = y.at[:-k].add(jnp.einsum("nji,nj->ni", Ak[k:], x[k:]))
+    return y

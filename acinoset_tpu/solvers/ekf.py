@@ -1,0 +1,175 @@
+"""Extended Kalman filter + RTS smoother as a single `lax.scan` program.
+
+TPU-native rebuild of the reference EKF (AcinoSet
+src/all_optimizations.py:569-865): constant-acceleration dynamics over
+pose/vel/acc blocks, per-frame measurement = all cameras x markers x 2
+pixels through FK + fisheye projection, 3-sigma innovation gating, and a
+backward Rauch-Tung-Striebel pass.
+
+Differences by design (documented, all strictly better on TPU):
+  * the measurement Jacobian is exact (`jax.jacfwd` of FK+projection)
+    instead of forward finite differences with eps=1e-3 (:634-649);
+  * the time loop is `lax.scan` (one compiled program, vmap-able over
+    runs) instead of a Python loop;
+  * S is factorized with Cholesky instead of explicit `np.linalg.inv`;
+  * NaN measurements (absent rows) are masked to zero residual with
+    untrusted-noise weighting, where the reference would propagate NaN.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class EkfConfig:
+    dt: float
+    sigma_bound: float = 3.0  # innovation gate (:609)
+    dlc_thresh: float = 0.5
+    meas_std_px: float = 5.0  # trusted-point sigma (:757)
+    max_pixel_err: float = 1920.0  # untrusted sigma = cam width (:610)
+
+
+def constant_acc_F(n_pose: int, dt: float, dtype=jnp.float64) -> jnp.ndarray:
+    """State-transition Jacobian for [pos, vel, acc] blocks (:759-764)."""
+    n = 3 * n_pose
+    F = jnp.eye(n, dtype=dtype)
+    i = jnp.arange(2 * n_pose)
+    F = F.at[i, i + n_pose].set(dt)
+    j = jnp.arange(n_pose)
+    F = F.at[j, j + 2 * n_pose].set(dt**2 / 2)
+    return F
+
+
+def constant_acc_Q(qb_std: np.ndarray, dt: float) -> np.ndarray:
+    """Process covariance: [[dt^4/4, dt^3/2, dt^2/2], ...] x qb (:749-754)."""
+    qb = np.diag(np.asarray(qb_std) / 2.0) ** 2
+    return np.block(
+        [
+            [dt**4 / 4 * qb, dt**3 / 2 * qb, dt**2 / 2 * qb],
+            [dt**3 / 2 * qb, dt**2 * qb, dt * qb],
+            [dt**2 / 2 * qb, dt * qb, qb],
+        ]
+    )
+
+
+def predict_next_state(x: jnp.ndarray, dt: float, n_pose: int) -> jnp.ndarray:
+    """Constant-acceleration prediction (:624-631)."""
+    pos, vel, acc = x[:n_pose], x[n_pose : 2 * n_pose], x[2 * n_pose :]
+    acc_p = acc
+    vel_p = vel + dt * acc_p
+    pos_p = pos + dt * vel_p + 0.5 * dt**2 * acc_p
+    return jnp.concatenate([pos_p, vel_p, acc_p])
+
+
+def run_ekf(
+    h_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    pixels: jnp.ndarray,
+    likelihood: jnp.ndarray,
+    x0: jnp.ndarray,
+    P0: jnp.ndarray,
+    qb_std: np.ndarray,
+    config: EkfConfig,
+):
+    """Run EKF + RTS smoother.
+
+    Args:
+      h_fn: pose (n_pose,) -> predicted pixels (C, L, 2) for all cameras.
+      pixels: (N, C, L, 2) measured pixels (NaN where missing).
+      likelihood: (N, C, L) DLC likelihoods.
+      x0: (3*n_pose,) initial state. P0: initial covariance.
+      qb_std: (n_pose,) per-DoF process std list (reference qb_list).
+      config: EkfConfig.
+
+    Returns dict with states/covariances: x, dx, ddx and smoothed_*,
+    plus 'outliers' (total gated pairs). Shapes (N, n_pose) etc.
+    """
+    dtype = x0.dtype
+    N, C, L, _ = pixels.shape
+    n_pose = x0.shape[0] // 3
+    n_states = 3 * n_pose
+    m = C * L * 2
+
+    F = constant_acc_F(n_pose, config.dt, dtype)
+    Q = jnp.asarray(constant_acc_Q(qb_std, config.dt), dtype)
+    jac_h = jax.jacfwd(lambda p: h_fn(p).reshape(-1))
+
+    def step(carry, inp):
+        x, P = carry
+        z, lik = inp  # (C, L, 2), (C, L)
+
+        # predict
+        x_pred = predict_next_state(x, config.dt, n_pose)
+        P_pred = F @ P @ F.T + Q
+
+        # measure
+        pose = x_pred[:n_pose]
+        h = h_fn(pose).reshape(-1)
+        Hp = jac_h(pose)  # (m, n_pose)
+        H = jnp.concatenate([Hp, jnp.zeros((m, n_states - n_pose), dtype)], axis=1)
+
+        trusted = jnp.repeat((lik > config.dlc_thresh).reshape(-1), 2)
+        sigma = jnp.where(trusted, config.meas_std_px, config.max_pixel_err)
+        Rdiag = sigma**2
+
+        residual = z.reshape(-1) - h
+        missing = jnp.isnan(residual)
+        residual = jnp.where(missing, 0.0, residual)
+        Rdiag = jnp.where(missing, config.max_pixel_err**2, Rdiag)
+
+        S = H @ P_pred @ H.T + jnp.diag(Rdiag)
+        # 3-sigma gating per (x, y) pair (:817-823)
+        gate = config.sigma_bound * jnp.sqrt(jnp.diag(S))
+        over = jnp.abs(residual) > gate
+        pair_over = over.reshape(-1, 2).any(axis=1)
+        gated = jnp.repeat(pair_over, 2)
+        residual = jnp.where(gated, 0.0, residual)
+        n_outliers = pair_over.sum()
+
+        # update via Cholesky: K = P H^T S^-1
+        chol = jnp.linalg.cholesky(S)
+        PHt = P_pred @ H.T
+        K = jax.scipy.linalg.cho_solve((chol, True), PHt.T).T
+        x_est = x_pred + K @ residual
+        P_est = (jnp.eye(n_states, dtype=dtype) - K @ H) @ P_pred
+
+        return (x_est, P_est), (x_pred, P_pred, x_est, P_est, n_outliers)
+
+    (_, _), (x_pred_h, P_pred_h, x_est_h, P_est_h, outliers) = jax.lax.scan(
+        step, (x0, P0), (pixels, likelihood)
+    )
+
+    # RTS smoother, backward scan (:839-845)
+    def smooth_step(carry, inp):
+        xs_next, Ps_next = carry
+        x_est, P_est, x_pred_next, P_pred_next = inp
+        # A = P_est F^T P_pred_next^-1 (solve instead of inv)
+        A = jnp.linalg.solve(P_pred_next.T, (P_est @ F.T).T).T
+        xs = x_est + A @ (xs_next - x_pred_next)
+        Ps = P_est + A @ (Ps_next - P_pred_next) @ A.T
+        return (xs, Ps), (xs, Ps)
+
+    # iterate i = N-2 .. 0 using predictions at i+1
+    init = (x_est_h[-1], P_est_h[-1])
+    inputs = (x_est_h[:-1], P_est_h[:-1], x_pred_h[1:], P_pred_h[1:])
+    (_, _), (xs_rev, Ps_rev) = jax.lax.scan(smooth_step, init, inputs, reverse=True)
+    x_smooth = jnp.concatenate([xs_rev, x_est_h[-1:]], axis=0)
+    P_smooth = jnp.concatenate([Ps_rev, P_est_h[-1:]], axis=0)
+
+    v, a = n_pose, 2 * n_pose
+    return dict(
+        x=x_est_h[:, :v],
+        dx=x_est_h[:, v:a],
+        ddx=x_est_h[:, a:],
+        smoothed_x=x_smooth[:, :v],
+        smoothed_dx=x_smooth[:, v:a],
+        smoothed_ddx=x_smooth[:, a:],
+        P=P_est_h,
+        smoothed_P=P_smooth,
+        outliers=outliers.sum(),
+    )

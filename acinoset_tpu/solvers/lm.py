@@ -1,0 +1,278 @@
+"""Batched Levenberg-Marquardt solvers, pure JAX.
+
+TPU-native replacement for the reference's scipy TRF bundle adjustment
+(AcinoSet src/calib/calib.py:307-390). Three layers:
+
+  * `lm_dense` — generic fixed-iteration damped LM on a small dense
+    problem (vmap it for thousands of independent problems at once);
+  * `sba_points` — points-only bundle adjustment: with cameras fixed,
+    every 3D point is an *independent* 3-parameter problem, so the whole
+    solve is one `vmap(lm_dense)` — massively parallel on TPU, unlike
+    the reference's single sparse TRF solve over all points at once
+    (calib.py:327-341, same stationary points);
+  * `sba_points_extrinsics` — joint points + camera-pose refinement via
+    Schur-complement LM: point blocks (3x3) are eliminated in closed
+    form, leaving a tiny dense (6C x 6C) camera system per iteration.
+    All heavy tensor contractions are batched einsums on the MXU.
+
+Robust losses enter as iteratively-reweighted least squares: residuals
+are scaled by sqrt(w(e)) with weights frozen per iteration (Cauchy
+weights reproduce scipy's loss='cauchy' stationary conditions).
+
+No data-dependent Python control flow: accept/reject and damping updates
+are arithmetic (`jnp.where`), iteration counts static — one compiled
+XLA program regardless of convergence path.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import camera as cam_ops
+from ..ops import losses
+from ..ops.rotations import rodrigues
+
+
+class LMResult(NamedTuple):
+    x: jnp.ndarray
+    cost: jnp.ndarray  # final cost
+    cost0: jnp.ndarray  # initial cost
+    lam: jnp.ndarray
+
+
+def lm_dense(
+    residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    num_iters: int = 30,
+    lam0: float = 1e-3,
+    lam_up: float = 10.0,
+    lam_down: float = 0.1,
+    weight_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> LMResult:
+    """Damped Gauss-Newton / LM with multiplicative damping.
+
+    residual_fn: x (n,) -> r (m,). If weight_fn is given, each iteration
+    uses IRLS weights w = weight_fn(r) (frozen within the step) and
+    minimizes sum w * r^2 / 2.
+    """
+    n = x0.shape[0]
+
+    def cost_of(x):
+        r = residual_fn(x)
+        w = weight_fn(r) if weight_fn is not None else jnp.ones_like(r)
+        return 0.5 * jnp.sum(w * r * r), (r, w)
+
+    def step(carry, _):
+        x, lam, cost = carry
+        r = residual_fn(x)
+        w = weight_fn(r) if weight_fn is not None else jnp.ones_like(r)
+        J = jax.jacfwd(residual_fn)(x)  # (m, n)
+        Jw = J * w[:, None]
+        H = Jw.T @ J
+        g = Jw.T @ r
+        H_damped = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-12))
+        dx = -jnp.linalg.solve(H_damped, g)
+        x_new = x + dx
+        new_cost, _ = cost_of(x_new)
+        ok = (new_cost < cost) & jnp.all(jnp.isfinite(dx))
+        x = jnp.where(ok, x_new, x)
+        cost = jnp.where(ok, new_cost, cost)
+        lam = jnp.where(ok, lam * lam_down, lam * lam_up)
+        lam = jnp.clip(lam, 1e-12, 1e12)
+        return (x, lam, cost), None
+
+    cost0, _ = cost_of(x0)
+    (x, lam, cost), _ = jax.lax.scan(
+        step, (x0, jnp.asarray(lam0, x0.dtype), cost0), None, length=num_iters
+    )
+    return LMResult(x=x, cost=cost, cost0=cost0, lam=lam)
+
+
+# --------------------------------------------------------------------------
+# Points-only SBA (cameras fixed): vmapped per-point LM
+# --------------------------------------------------------------------------
+
+
+def sba_points(
+    pts2d,  # (P, C, 2) pixel observations (arbitrary where masked)
+    mask,  # (P, C) bool
+    k_arr, d_arr, r_arr, t_arr,  # stacked cams, leading dim C
+    x0_points,  # (P, 3) initial 3D points
+    f_scale: float = 50.0,
+    num_iters: int = 30,
+    project_fn=cam_ops.project_points_fisheye,
+):
+    """Refine 3D points under fixed cameras with a Cauchy robust loss.
+
+    Replaces bundle_adjust_points_only (src/calib/calib.py:327-341,
+    loss='cauchy', f_scale=50). Each point solves independently
+    (vmap over P), masked residuals contribute zero.
+
+    Returns (points (P,3), residuals dict before/after with per-component
+    *unweighted* reprojection residuals like the reference's f0/res.fun).
+    """
+    k_arr = jnp.asarray(k_arr)
+    d_arr = jnp.asarray(d_arr).reshape(k_arr.shape[0], -1)[:, :4]
+    r_arr = jnp.asarray(r_arr)
+    t_arr = jnp.asarray(t_arr).reshape(k_arr.shape[0], 3)
+
+    def point_residual(x, obs, m):
+        # project x into all C cameras
+        proj = jax.vmap(lambda K, D, R, t: project_fn(x, K, D, R, t))(
+            k_arr, d_arr, r_arr, t_arr
+        )  # (C, 2)
+        r = (proj - obs).reshape(-1)
+        return jnp.where(jnp.repeat(m, 2), r, 0.0)
+
+    def weight(r):
+        return losses.cauchy_weight(r, f_scale)
+
+    def solve_one(x0, obs, m):
+        return lm_dense(
+            lambda x: point_residual(x, obs, m), x0, num_iters=num_iters, weight_fn=weight
+        )
+
+    res = jax.vmap(solve_one)(jnp.asarray(x0_points), jnp.asarray(pts2d), jnp.asarray(mask))
+    before = jax.vmap(point_residual)(jnp.asarray(x0_points), jnp.asarray(pts2d), jnp.asarray(mask))
+    after = jax.vmap(point_residual)(res.x, jnp.asarray(pts2d), jnp.asarray(mask))
+    return res.x, dict(before=before.reshape(-1), after=after.reshape(-1))
+
+
+# --------------------------------------------------------------------------
+# Points + extrinsics SBA: Schur-complement LM
+# --------------------------------------------------------------------------
+
+
+def _project_rt(pt, cam6, K, D, project_fn):
+    R = rodrigues(cam6[:3])
+    return project_fn(pt, K, D, R, cam6[3:])
+
+
+def sba_points_extrinsics(
+    pts2d,  # (P, C, 2)
+    mask,  # (P, C) bool
+    k_arr, d_arr,  # intrinsics, fixed
+    r_arr, t_arr,  # initial extrinsics (C,3,3), (C,3[,1])
+    x0_points,  # (P, 3)
+    f_scale: float = 1.0,
+    num_iters: int = 50,
+    project_fn=cam_ops.project_points_fisheye,
+):
+    """Joint refinement of camera poses (Rodrigues+translation) and points.
+
+    Replaces bundle_adjust_points_and_extrinsics
+    (src/calib/calib.py:369-390; scipy TRF, loss='cauchy', f_scale=1).
+    Point blocks are eliminated with a Schur complement; the reduced
+    (6C x 6C) system is solved densely each LM iteration. All
+    per-observation Jacobians are computed with one vmapped jacfwd.
+
+    Returns (points (P,3), r_arr (C,3,3), t_arr (C,3,1), residuals dict).
+    """
+    from ..ops.rotations import rodrigues_inv
+
+    k_arr = jnp.asarray(k_arr)
+    d_arr = jnp.asarray(d_arr).reshape(k_arr.shape[0], -1)[:, :4]
+    C = k_arr.shape[0]
+    P = jnp.asarray(x0_points).shape[0]
+    dtype = jnp.asarray(x0_points).dtype
+
+    cams0 = jnp.concatenate(
+        [rodrigues_inv(jnp.asarray(r_arr)), jnp.asarray(t_arr).reshape(C, 3)], axis=1
+    )  # (C, 6)
+    pts0 = jnp.asarray(x0_points)
+    pts2d = jnp.asarray(pts2d)
+    maskf = jnp.asarray(mask, dtype)
+
+    def obs_residual(cam6, pt, K, D, obs):
+        return _project_rt(pt, cam6, K, D, project_fn) - obs  # (2,)
+
+    # vmapped residuals + jacobians over the (P, C) observation grid
+    def all_residuals(cams, pts):
+        def per_cam(cam6, K, D, obs_c, pts_):
+            return jax.vmap(lambda pt, o: obs_residual(cam6, pt, K, D, o))(pts_, obs_c)
+
+        return jax.vmap(per_cam, in_axes=(0, 0, 0, 1, None), out_axes=1)(
+            cams, k_arr, d_arr, pts2d, pts
+        )  # (P, C, 2)
+
+    jac_cam = jax.jacfwd(obs_residual, argnums=0)
+    jac_pt = jax.jacfwd(obs_residual, argnums=1)
+
+    def all_jacobians(cams, pts):
+        def per_cam(cam6, K, D, obs_c, pts_):
+            Jc = jax.vmap(lambda pt, o: jac_cam(cam6, pt, K, D, o))(pts_, obs_c)
+            Jp = jax.vmap(lambda pt, o: jac_pt(cam6, pt, K, D, o))(pts_, obs_c)
+            return Jc, Jp
+
+        Jc, Jp = jax.vmap(per_cam, in_axes=(0, 0, 0, 1, None), out_axes=1)(
+            cams, k_arr, d_arr, pts2d, pts
+        )
+        return Jc, Jp  # (P, C, 2, 6), (P, C, 2, 3)
+
+    def cost_of(cams, pts):
+        r = all_residuals(cams, pts)
+        w = losses.cauchy_weight(r, f_scale) * maskf[..., None]
+        return 0.5 * jnp.sum(w * r * r)
+
+    def step(carry, _):
+        cams, pts, lam, cost = carry
+        r = all_residuals(cams, pts)  # (P, C, 2)
+        w = losses.cauchy_weight(r, f_scale) * maskf[..., None]
+        Jc, Jp = all_jacobians(cams, pts)
+
+        wJc = w[..., None] * Jc
+        wJp = w[..., None] * Jp
+        # block pieces
+        Hcc = jnp.einsum("pcki,pckj->cij", wJc, Jc)  # (C, 6, 6)
+        Hpp = jnp.einsum("pcki,pckj->pij", wJp, Jp)  # (P, 3, 3)
+        B = jnp.einsum("pcki,pckj->cpij", wJc, Jp)  # (C, P, 6, 3)
+        gc = jnp.einsum("pcki,pck->ci", wJc, r)  # (C, 6)
+        gp = jnp.einsum("pcki,pck->pi", wJp, r)  # (P, 3)
+
+        # multiplicative damping on the block diagonals
+        dcc = jnp.maximum(jax.vmap(jnp.diag)(Hcc), 1e-12)  # (C, 6)
+        dpp = jnp.maximum(jax.vmap(jnp.diag)(Hpp), 1e-12)  # (P, 3)
+        Hcc_d = Hcc + lam * dcc[:, :, None] * jnp.eye(6, dtype=dtype)
+        Hpp_d = Hpp + lam * dpp[:, :, None] * jnp.eye(3, dtype=dtype)
+
+        Hpp_inv = jnp.linalg.inv(Hpp_d + 1e-12 * jnp.eye(3, dtype=dtype))  # (P,3,3)
+
+        # Schur complement S = blockdiag(Hcc) - B Hpp^-1 B^T
+        BHinv = jnp.einsum("cpij,pjk->cpik", B, Hpp_inv)  # (C, P, 6, 3)
+        S_off = jnp.einsum("cpik,dpjk->cidj", BHinv, B)  # (C,6,C,6)
+        S = -S_off
+        S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc_d)
+        rhs = gc - jnp.einsum("cpik,pk->ci", BHinv, gp)  # (C, 6)
+
+        dc = -jnp.linalg.solve(S.reshape(6 * C, 6 * C), rhs.reshape(-1)).reshape(C, 6)
+        dp = -jax.vmap(jnp.matmul)(
+            Hpp_inv, gp + jnp.einsum("cpij,ci->pj", B, dc)
+        )  # (P, 3)
+
+        cams_new = cams + dc
+        pts_new = pts + dp
+        new_cost = cost_of(cams_new, pts_new)
+        ok = (new_cost < cost) & jnp.isfinite(new_cost)
+        cams = jnp.where(ok, cams_new, cams)
+        pts = jnp.where(ok, pts_new, pts)
+        cost = jnp.where(ok, new_cost, cost)
+        lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-10, 1e10)
+        return (cams, pts, lam, cost), None
+
+    cost0 = cost_of(cams0, pts0)
+    (cams, pts, lam, cost), _ = jax.lax.scan(
+        step, (cams0, pts0, jnp.asarray(1e-3, dtype), cost0), None, length=num_iters
+    )
+
+    before = all_residuals(cams0, pts0) * maskf[..., None]
+    after = all_residuals(cams, pts) * maskf[..., None]
+    r_out = rodrigues(cams[:, :3])
+    t_out = cams[:, 3:].reshape(C, 3, 1)
+    return (
+        pts,
+        r_out,
+        t_out,
+        dict(before=before.reshape(-1), after=after.reshape(-1)),
+    )

@@ -1,0 +1,214 @@
+"""FTE collocation trajectory optimization as a banded Gauss-Newton solver.
+
+TPU-native replacement for the reference's Pyomo -> IPOPT pipeline
+(AcinoSet src/all_optimizations.py:22-566). The Pyomo model's decision
+variables (x, dx, ddx, poses, slack_model, slack_meas) and equality
+constraints are *eliminated analytically*:
+
+  backward-Euler integration (:369-383) makes dx, ddx finite differences
+  of x; the constant-acceleration constraint (:386-391) makes
+  slack_model the third difference of x divided by Ts^2 (the free
+  initial dx[1], ddx[1] absorb the first two boundary terms exactly);
+  the pose/measurement constraints (:359-365, :394-399) define
+  slack_meas = project(FK(x_n)) - measurement.
+
+What remains is an unconstrained problem in the active pose trajectory
+X in R^{N x P}:
+
+  min_X  sum_n |sqrt(1/Q) * D3 X|^2  +  sum redesc(w_meas * (proj(FK(x_n)) - meas))
+  s.t.   lo <= X <= hi  (joint limits, :401-483)
+
+with D3 the third-difference stencil — a *banded* coupling in time.
+We solve it by damped Gauss-Newton with iteratively-reweighted
+redescending measurement weights (graduated: plain/Huber -> full
+redescending), joint limits by quadratic penalty + final clamp, and the
+banded normal equations factored by `solvers.banded` scans. `vmap` over
+trajectories batches every step onto the MXU — hundreds of trajectories
+solve in parallel per chip, where IPOPT solved one NLP per process.
+
+The objective evaluated for accept/reject is the reference's *actual*
+objective (redescending measurement loss + weighted model quadratic), so
+convergence targets the same optimum IPOPT sought (tol there was a loose
+1e-1, :512).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import losses
+from .banded import block_banded_cholesky, block_banded_solve
+
+
+@dataclass(frozen=True)
+class FteConfig:
+    Ts: float  # timestep = 1/fps
+    q_var: Tuple[float, ...]  # per-pose-param model variance (reference Q, squared)
+    lo: Tuple[float, ...]  # joint lower bounds (len P)
+    hi: Tuple[float, ...]  # joint upper bounds
+    meas_std_px: float = 5.0  # R (:243)
+    redesc: Tuple[float, float, float] = (3.0, 10.0, 20.0)
+    num_iters: int = 60  # total GN iterations
+    plain_iters: int = 15  # iterations before redescending weights switch on
+    limit_penalty: float = 1e4
+    lam0: float = 1e-2
+    lam_up: float = 4.0
+    lam_down: float = 0.25
+
+
+def third_difference(X, Ts):
+    """slack_model[n] = (x[n] - 3x[n-1] + 3x[n-2] - x[n-3]) / Ts^2, n>=3."""
+    return (X[3:] - 3.0 * X[2:-1] + 3.0 * X[1:-2] - X[:-3]) / Ts**2
+
+
+def _d3_correlate(v, Ts):
+    """g = D3^T v for v of shape (N-3, P): adjoint of third_difference."""
+    N3, P = v.shape
+    g = jnp.zeros((N3 + 3, P), dtype=v.dtype)
+    g = g.at[3:].add(v)
+    g = g.at[2:-1].add(-3.0 * v)
+    g = g.at[1:-2].add(3.0 * v)
+    g = g.at[:-3].add(-v)
+    return g / Ts**2
+
+
+def _d3_gram_bands(N: int, Ts: float) -> np.ndarray:
+    """Scalar bands of D3^T D3 (exact, boundary-corrected). Shape (4, N)."""
+    c = np.array([-1.0, 3.0, -3.0, 1.0]) / Ts**2  # coefficient of x[n-3..n]
+    D = np.zeros((max(N - 3, 0), N))
+    for r in range(max(N - 3, 0)):
+        D[r, r : r + 4] = c
+    G = D.T @ D
+    bands = np.zeros((4, N))
+    for k in range(4):
+        for n in range(k, N):
+            bands[k, n] = G[n, n - k]
+    return bands
+
+
+def fte_objective(X, h_fn, meas, w_meas, cfg: FteConfig):
+    """The reference objective (src/all_optimizations.py:486-500) on X."""
+    q = jnp.asarray(cfg.q_var, X.dtype)
+    d3 = third_difference(X, cfg.Ts)
+    model_term = jnp.sum((1.0 / q) * d3 * d3)
+    proj = jax.vmap(h_fn)(X)  # (N, C, L, 2)
+    e = w_meas[..., None] * (proj - meas)
+    a, b, c = cfg.redesc
+    meas_term = jnp.sum(losses.redescending_loss(e, a, b, c))
+    return model_term + meas_term
+
+
+def fte_solve(
+    h_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    X0: jnp.ndarray,  # (N, P) initial trajectory
+    meas: jnp.ndarray,  # (N, C, L, 2) pixel measurements (NaN-free; mask via w)
+    w_meas: jnp.ndarray,  # (N, C, L) weights: 1/R if trusted else 0 (:302-308)
+    cfg: FteConfig,
+):
+    """Solve one FTE trajectory. Returns (X, info dict).
+
+    Fully jit-able; vmap over leading batch of (X0, meas, w_meas) for
+    multi-trajectory solves.
+    """
+    N, P = X0.shape
+    dtype = X0.dtype
+    q = jnp.asarray(cfg.q_var, dtype)
+    lo = jnp.asarray(cfg.lo, dtype)
+    hi = jnp.asarray(cfg.hi, dtype)
+    a, b, c = cfg.redesc
+    gram = _d3_gram_bands(N, cfg.Ts)  # static numpy (4, N)
+
+    meas = jnp.nan_to_num(meas, nan=0.0)
+    w = jnp.where(jnp.isfinite(w_meas), w_meas, 0.0)
+
+    h_flat = lambda x: h_fn(x).reshape(-1)  # (m,)
+    jac_h = jax.vmap(jax.jacfwd(h_flat))  # (N, m, P)
+    h_batch = jax.vmap(h_flat)
+
+    w_flat_all = jnp.repeat(w.reshape(N, -1), 2, axis=-1)  # (N, m)
+    meas_flat = meas.reshape(N, -1)
+
+    def objective(X):
+        d3 = third_difference(X, cfg.Ts)
+        model_term = jnp.sum((1.0 / q) * d3 * d3)
+        e = w_flat_all * (h_batch(X) - meas_flat)
+        meas_term = jnp.sum(losses.redescending_loss(e, a, b, c))
+        # limit penalty (exterior): contributes 0 when feasible
+        viol = jnp.maximum(lo - X, 0.0) + jnp.maximum(X - hi, 0.0)
+        return model_term + meas_term + cfg.limit_penalty * jnp.sum(viol**2)
+
+    def gn_step(carry, it):
+        X, lam, cost = carry
+        robust_on = it >= cfg.plain_iters
+
+        # ---- measurement GN pieces, frame-local
+        e = w_flat_all * (h_batch(X) - meas_flat)  # (N, m) scaled residuals
+        w_irls = jnp.where(robust_on, losses.redescending_weight(e, a, b, c), 1.0)
+        J = jac_h(X) * w_flat_all[..., None]  # d e / d x  (N, m, P)
+        Wm = w_irls  # (N, m)
+        H_meas = jnp.einsum("nmi,nm,nmj->nij", J, Wm, J)  # (N, P, P)
+        g_meas = jnp.einsum("nmi,nm,nm->ni", J, Wm, e)  # (N, P)
+
+        # ---- model (third-difference) pieces, banded
+        d3 = third_difference(X, cfg.Ts)  # (N-3, P)
+        wq = 1.0 / q  # (P,)
+        g_model = _d3_correlate(d3 * wq, cfg.Ts)  # = D3^T W D3 X
+
+        # ---- limits (quadratic penalty), frame-local diagonal
+        viol_lo = jnp.maximum(lo - X, 0.0)
+        viol_hi = jnp.maximum(X - hi, 0.0)
+        g_lim = 2.0 * cfg.limit_penalty * (viol_hi - viol_lo)  # d/dX of penalty
+        h_lim = 2.0 * cfg.limit_penalty * ((viol_lo > 0) | (viol_hi > 0)).astype(dtype)
+
+        # gradient of the GN quadratic model: note objective model term has
+        # no 1/2, so gradients carry a factor 2; scale-consistent H and g:
+        g = 2.0 * (g_meas + g_model) + g_lim  # (N, P)
+
+        bands = []
+        for k in range(4):
+            bk = jnp.asarray(gram[k], dtype)[:, None] * wq[None, :]  # (N, P)
+            Bk = jnp.zeros((N, P, P), dtype).at[:, jnp.arange(P), jnp.arange(P)].set(bk)
+            bands.append(2.0 * Bk)
+        bands[0] = bands[0] + 2.0 * H_meas
+        bands[0] = bands[0].at[:, jnp.arange(P), jnp.arange(P)].add(h_lim)
+        # LM damping
+        diag0 = bands[0][:, jnp.arange(P), jnp.arange(P)]
+        damp = lam * jnp.maximum(diag0, 1e-8)
+        bands[0] = bands[0].at[:, jnp.arange(P), jnp.arange(P)].add(damp)
+
+        L = block_banded_cholesky(bands)
+        dX = block_banded_solve(L, -g)
+
+        X_new = X + dX
+        new_cost = objective(X_new)
+        ok = (new_cost < cost) & jnp.all(jnp.isfinite(dX))
+        X = jnp.where(ok, X_new, X)
+        cost = jnp.where(ok, new_cost, cost)
+        lam = jnp.clip(jnp.where(ok, lam * cfg.lam_down, lam * cfg.lam_up), 1e-10, 1e10)
+        return (X, lam, cost), cost
+
+    cost0 = objective(X0)
+    (X, lam, cost), cost_hist = jax.lax.scan(
+        gn_step, (X0, jnp.asarray(cfg.lam0, dtype), cost0), jnp.arange(cfg.num_iters)
+    )
+    X = jnp.clip(X, lo, hi)
+    return X, dict(cost=cost, cost0=cost0, cost_history=cost_hist, lam=lam)
+
+
+def derivatives_from_trajectory(X, Ts):
+    """Recover dx, ddx consistent with the backward-Euler constraints.
+
+    dx[n] = (x[n] - x[n-1])/Ts for n>=1; ddx[n] = (dx[n] - dx[n-1])/Ts
+    for n>=2. The free boundary values dx[0], ddx[0], ddx[1] take the
+    cost-minimizing values (copies of their first defined neighbor),
+    mirroring how IPOPT's free variables settle.
+    """
+    dx = jnp.diff(X, axis=0) / Ts
+    dx = jnp.concatenate([dx[:1], dx], axis=0)
+    ddx = jnp.diff(dx, axis=0) / Ts
+    ddx = jnp.concatenate([ddx[1:2], ddx[1:2], ddx[1:]], axis=0) if ddx.shape[0] >= 2 else jnp.zeros_like(X)
+    return dx, ddx

@@ -1,0 +1,57 @@
+"""Block-banded Cholesky vs dense NumPy reference."""
+import numpy as np
+import jax.numpy as jnp
+
+from acinoset_tpu.solvers import banded
+
+
+def make_spd_banded(rng, N=12, P=5, q=3):
+    bands = [rng.normal(size=(N, P, P)) for _ in range(q + 1)]
+    for k in range(1, q + 1):
+        bands[k][:k] = 0.0
+    # dense assembly
+    A = np.zeros((N * P, N * P))
+    for n in range(N):
+        A[n * P : (n + 1) * P, n * P : (n + 1) * P] = bands[0][n]
+        for k in range(1, q + 1):
+            if n >= k:
+                A[n * P : (n + 1) * P, (n - k) * P : (n - k + 1) * P] = bands[k][n]
+    A = A + A.T  # symmetrize (diagonal doubled — fine)
+    A += np.eye(N * P) * (np.abs(A).sum(axis=1).max() + 1.0)  # diagonally dominant SPD
+    # re-extract bands of the SPD matrix
+    out = []
+    for k in range(q + 1):
+        Bk = np.zeros((N, P, P))
+        for n in range(k, N):
+            Bk[n] = A[n * P : (n + 1) * P, (n - k) * P : (n - k + 1) * P]
+        out.append(Bk)
+    return A, out
+
+
+def test_banded_cholesky_solve_matches_dense(rng):
+    N, P = 12, 5
+    A, bands = make_spd_banded(rng, N, P)
+    b = rng.normal(size=(N, P))
+    L = banded.block_banded_cholesky([jnp.asarray(B) for B in bands])
+    x = np.asarray(banded.block_banded_solve(L, jnp.asarray(b)))
+    x_ref = np.linalg.solve(A, b.reshape(-1)).reshape(N, P)
+    np.testing.assert_allclose(x, x_ref, atol=1e-9)
+
+
+def test_banded_matvec(rng):
+    N, P = 10, 4
+    A, bands = make_spd_banded(rng, N, P)
+    x = rng.normal(size=(N, P))
+    y = np.asarray(banded.banded_matvec([jnp.asarray(B) for B in bands], jnp.asarray(x)))
+    y_ref = (A @ x.reshape(-1)).reshape(N, P)
+    np.testing.assert_allclose(y, y_ref, atol=1e-10)
+
+
+def test_banded_small_n():
+    """N smaller than the bandwidth still factors correctly."""
+    rng = np.random.default_rng(3)
+    A, bands = make_spd_banded(rng, N=3, P=2)
+    b = rng.normal(size=(3, 2))
+    L = banded.block_banded_cholesky([jnp.asarray(B) for B in bands])
+    x = np.asarray(banded.block_banded_solve(L, jnp.asarray(b)))
+    np.testing.assert_allclose(x, np.linalg.solve(A, b.reshape(-1)).reshape(3, 2), atol=1e-9)

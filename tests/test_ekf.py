@@ -1,0 +1,74 @@
+"""EKF + RTS smoother on synthetic cheetah data."""
+import numpy as np
+import pytest
+
+from acinoset_tpu.models import cheetah
+from acinoset_tpu.pipeline.ekf import run_cheetah_ekf
+
+import synthetic
+
+
+@pytest.fixture(scope="module")
+def synth():
+    cams = synthetic.ring_cameras(n_cams=4)
+    X = synthetic.cheetah_gallop(N=50, fps=90.0)
+    pixels, likelihood, pts3d = synthetic.render_measurements(
+        X, cams, noise_px=1.0, outlier_frac=0.01, bad_lik_frac=0.02, seed=1
+    )
+    return cams, X, pixels, likelihood, pts3d
+
+
+def test_ekf_tracks_synthetic_run(synth):
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    pp = cheetah.get_pose_params()
+    x0 = np.zeros(3 * cheetah.N_ACTIVE)
+    # init near truth for position/heading (the pipeline computes this
+    # from the triangulated nose track)
+    x0[pp["x_0"]] = X_true[0, pp["x_0"]]
+    x0[pp["y_0"]] = X_true[0, pp["y_0"]]
+    x0[pp["psi_0"]] = X_true[0, pp["psi_0"]]
+    x0[cheetah.N_ACTIVE + pp["x_0"]] = 8.0  # approx forward speed
+
+    states = run_cheetah_ekf(
+        pixels.transpose(1, 0, 2, 3), likelihood.transpose(1, 0, 2),
+        k_arr, d_arr, r_arr, t_arr,
+        fps=90.0, cam_res=res, dlc_thresh=0.5, x0_pose=x0,
+    )
+    assert states["x"].shape == (50, 25)
+    # after settling, filtered root position should track within ~10 cm
+    err_root = np.linalg.norm(states["x"][20:, :3] - X_true[20:, :3], axis=1)
+    assert err_root.mean() < 0.05, err_root.mean()
+    err_s = np.linalg.norm(states["smoothed_x"][20:, :3] - X_true[20:, :3], axis=1)
+    assert err_s.mean() < 0.05, err_s.mean()
+    # marker-space error small (cm scale)
+    import jax, jax.numpy as jnp
+
+    mk = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(states["smoothed_x"])))
+    mk_err = np.linalg.norm(mk[20:] - np.asarray(
+        jax.vmap(cheetah.fk25)(jnp.asarray(X_true))
+    )[20:], axis=-1)
+    assert np.nanmean(mk_err) < 0.10, np.nanmean(mk_err)
+
+
+def test_ekf_constant_acc_blocks():
+    from acinoset_tpu.solvers import ekf as ekf_solver
+
+    F = np.asarray(ekf_solver.constant_acc_F(3, 0.1))
+    assert F.shape == (9, 9)
+    np.testing.assert_allclose(F[0, 3], 0.1)
+    np.testing.assert_allclose(F[0, 6], 0.005)
+    np.testing.assert_allclose(F[3, 6], 0.1)
+    # prediction follows the reference formula (:624-631), which applies
+    # dt*vel_NEW and therefore carries 1.5*dt^2*acc on the position —
+    # deliberately different from F's 0.5*dt^2 (as in the reference).
+    x = np.arange(9.0)
+    x_pred = np.asarray(ekf_solver.predict_next_state(x, 0.1, 3))
+    pos, vel, acc = x[:3], x[3:6], x[6:]
+    np.testing.assert_allclose(x_pred[3:6], vel + 0.1 * acc, atol=1e-12)
+    np.testing.assert_allclose(pos + 0.1 * (vel + 0.1 * acc) + 0.005 * acc, x_pred[:3], atol=1e-12)
+    Q = ekf_solver.constant_acc_Q(np.ones(3) * 2.0, 0.1)
+    assert Q.shape == (9, 9)
+    # Q is PSD
+    w = np.linalg.eigvalsh(Q)
+    assert w.min() > -1e-12

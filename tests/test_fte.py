@@ -1,0 +1,100 @@
+"""FTE banded Gauss-Newton solver on synthetic cheetah data."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from acinoset_tpu.models import cheetah
+from acinoset_tpu.pipeline.ekf import make_h_fn
+from acinoset_tpu.pipeline.fte import fte_run, default_config
+from acinoset_tpu.solvers import trajopt
+
+import synthetic
+
+
+def test_third_difference_and_adjoint(rng):
+    N, P = 20, 4
+    Ts = 0.01
+    X = rng.normal(size=(N, P))
+    d3 = np.asarray(trajopt.third_difference(jnp.asarray(X), Ts))
+    # explicit check
+    for n in range(3, N):
+        np.testing.assert_allclose(
+            d3[n - 3], (X[n] - 3 * X[n - 1] + 3 * X[n - 2] - X[n - 3]) / Ts**2, atol=1e-9
+        )
+    # adjoint: <D3 x, v> == <x, D3^T v>
+    v = rng.normal(size=(N - 3, P))
+    lhs = np.sum(d3 * v)
+    rhs = np.sum(X * np.asarray(trajopt._d3_correlate(jnp.asarray(v), Ts)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+    # gram bands match D^T D
+    bands = trajopt._d3_gram_bands(N, Ts)
+    c = np.array([-1, 3, -3, 1.0]) / Ts**2
+    D = np.zeros((N - 3, N))
+    for r in range(N - 3):
+        D[r, r : r + 4] = c
+    G = D.T @ D
+    for k in range(4):
+        for n in range(k, N):
+            np.testing.assert_allclose(bands[k, n], G[n, n - k], rtol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def synth():
+    cams = synthetic.ring_cameras(n_cams=6)
+    X = synthetic.cheetah_gallop(N=50, fps=90.0)
+    pixels, likelihood, pts3d = synthetic.render_measurements(
+        X, cams, noise_px=1.5, outlier_frac=0.02, bad_lik_frac=0.05, seed=2
+    )
+    return cams, X, pixels, likelihood, pts3d
+
+
+def test_fte_recovers_synthetic_run(synth):
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    result = fte_run(
+        pixels, likelihood, k_arr, d_arr, r_arr, t_arr,
+        fps=90.0, dlc_thresh=0.5, num_iters=50,
+    )
+    # cost must strictly decrease from the linear init
+    assert result["cost"] < result["cost0"] * 0.12, (result["cost"], result["cost0"])
+    # marker positions recovered to cm level despite outliers
+    mk_err = np.linalg.norm(result["positions"] - pts3d, axis=-1)
+    assert np.nanmean(mk_err) < 0.05, np.nanmean(mk_err)
+    # reprojection error of trusted points ~ noise level
+    h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
+    proj = np.asarray(jax.vmap(h)(jnp.asarray(result["x"])))  # (N, C, L, 2)
+    meas = pixels.transpose(1, 0, 2, 3)
+    trusted = likelihood.transpose(1, 0, 2) > 0.5
+    err = np.linalg.norm(proj - meas, axis=-1)[trusted]
+    # median is robust to the injected outliers
+    assert np.median(err) < 4.0, np.median(err)
+    # joint limits respected
+    lo, hi = cheetah.pose_limits_25()
+    assert np.all(result["x"] >= lo - 1e-9) and np.all(result["x"] <= hi + 1e-9)
+
+
+def test_fte_vmappable(synth):
+    """The solver vmaps over a batch of trajectories (the TPU scaling axis)."""
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    cfg = default_config(90.0, num_iters=8)
+    h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
+
+    from acinoset_tpu.pipeline.fte import initial_trajectory
+
+    N = pixels.shape[1]
+    X0 = initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr,
+                            np.arange(N), 0.5)
+    meas = jnp.asarray(pixels.transpose(1, 0, 2, 3))
+    w = jnp.asarray((likelihood.transpose(1, 0, 2) > 0.5) / cfg.meas_std_px)
+
+    batch = 3
+    X0b = jnp.stack([jnp.asarray(X0)] * batch)
+    measb = jnp.stack([meas] * batch)
+    wb = jnp.stack([w] * batch)
+
+    solve = jax.vmap(lambda a, b, c: trajopt.fte_solve(h, a, b, c, cfg)[0])
+    Xb = solve(X0b, measb, wb)
+    assert Xb.shape == (batch, N, 25)
+    np.testing.assert_allclose(np.asarray(Xb[0]), np.asarray(Xb[2]), atol=1e-10)
