@@ -50,17 +50,24 @@ def lm_dense(
     lam_up: float = 10.0,
     lam_down: float = 0.1,
     weight_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    loss_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    max_step: Optional[float] = None,
 ) -> LMResult:
     """Damped Gauss-Newton / LM with multiplicative damping.
 
-    residual_fn: x (n,) -> r (m,). If weight_fn is given, each iteration
-    uses IRLS weights w = weight_fn(r) (frozen within the step) and
-    minimizes sum w * r^2 / 2.
+    residual_fn: x (n,) -> r (m,). If weight_fn is given, each GN step
+    uses IRLS weights w = weight_fn(r) (frozen within the step).
+    Accept/reject decisions use the *true* robust cost sum(loss_fn(r))
+    when loss_fn is provided — the reweighted cost w*r^2 saturates for
+    redescending/Cauchy weights and would reward divergence. max_step
+    clips the parameter update norm (a cheap trust region).
     """
     n = x0.shape[0]
 
     def cost_of(x):
         r = residual_fn(x)
+        if loss_fn is not None:
+            return jnp.sum(loss_fn(r)), (r, None)
         w = weight_fn(r) if weight_fn is not None else jnp.ones_like(r)
         return 0.5 * jnp.sum(w * r * r), (r, w)
 
@@ -74,6 +81,9 @@ def lm_dense(
         g = Jw.T @ r
         H_damped = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-12))
         dx = -jnp.linalg.solve(H_damped, g)
+        if max_step is not None:
+            norm = jnp.linalg.norm(dx)
+            dx = dx * jnp.minimum(1.0, max_step / jnp.maximum(norm, 1e-12))
         x_new = x + dx
         new_cost, _ = cost_of(x_new)
         ok = (new_cost < cost) & jnp.all(jnp.isfinite(dx))
@@ -129,9 +139,13 @@ def sba_points(
     def weight(r):
         return losses.cauchy_weight(r, f_scale)
 
+    def loss(r):
+        return losses.cauchy_loss(r, f_scale)
+
     def solve_one(x0, obs, m):
         return lm_dense(
-            lambda x: point_residual(x, obs, m), x0, num_iters=num_iters, weight_fn=weight
+            lambda x: point_residual(x, obs, m), x0, num_iters=num_iters,
+            weight_fn=weight, loss_fn=loss, max_step=2.0,
         )
 
     res = jax.vmap(solve_one)(jnp.asarray(x0_points), jnp.asarray(pts2d), jnp.asarray(mask))
@@ -212,9 +226,10 @@ def sba_points_extrinsics(
         return Jc, Jp  # (P, C, 2, 6), (P, C, 2, 3)
 
     def cost_of(cams, pts):
+        # true robust cost (the reweighted form saturates and would
+        # reward divergence)
         r = all_residuals(cams, pts)
-        w = losses.cauchy_weight(r, f_scale) * maskf[..., None]
-        return 0.5 * jnp.sum(w * r * r)
+        return jnp.sum(losses.cauchy_loss(r, f_scale) * maskf[..., None])
 
     def step(carry, _):
         cams, pts, lam, cost = carry
