@@ -24,6 +24,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..utils.precision import f32_matmuls
 
 
 @dataclass(frozen=True)
@@ -67,6 +68,7 @@ def predict_next_state(x: jnp.ndarray, dt: float, n_pose: int) -> jnp.ndarray:
     return jnp.concatenate([pos_p, vel_p, acc_p])
 
 
+@f32_matmuls
 def run_ekf(
     h_fn: Callable[[jnp.ndarray], jnp.ndarray],
     pixels: jnp.ndarray,

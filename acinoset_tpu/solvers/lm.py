@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from ..ops import camera as cam_ops
 from ..ops import losses
 from ..ops.rotations import rodrigues
+from ..utils.precision import f32_matmuls
 
 
 class LMResult(NamedTuple):
@@ -42,6 +43,7 @@ class LMResult(NamedTuple):
     lam: jnp.ndarray
 
 
+@f32_matmuls
 def lm_dense(
     residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
     x0: jnp.ndarray,
