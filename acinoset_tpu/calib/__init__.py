@@ -1,1 +1,1 @@
-from . import corners, extrinsics, intrinsics, pnp  # noqa: F401
+from . import app, corners, extrinsics, intrinsics, pnp  # noqa: F401
