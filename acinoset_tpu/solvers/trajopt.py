@@ -53,6 +53,9 @@ class FteConfig:
     hi: Tuple[float, ...]  # joint upper bounds
     meas_std_px: float = 5.0  # R (:243)
     redesc: Tuple[float, float, float] = (3.0, 10.0, 20.0)
+    #: 'redescending' (cheetah FTE, :497), 'l1' (generic build.py:299 —
+    #: realized as Huber IRLS with delta=redesc[0]), or 'quadratic'
+    meas_loss: str = "redescending"
     num_iters: int = 60  # total GN iterations
     plain_iters: int = 15  # iterations before redescending weights switch on
     limit_penalty: float = 1e4
@@ -134,11 +137,25 @@ def fte_solve(
     w_flat_all = jnp.repeat(w.reshape(N, -1), 2, axis=-1)  # (N, m)
     meas_flat = meas.reshape(N, -1)
 
+    def meas_rho(e):
+        if cfg.meas_loss == "redescending":
+            return losses.redescending_loss(e, a, b, c)
+        if cfg.meas_loss == "l1":
+            return losses.huber_loss(e, a)
+        return 0.5 * e * e
+
+    def meas_irls(e):
+        if cfg.meas_loss == "redescending":
+            return losses.redescending_weight(e, a, b, c)
+        if cfg.meas_loss == "l1":
+            return losses.huber_weight(e, a)
+        return jnp.ones_like(e)
+
     def objective(X):
         d3 = third_difference(X, cfg.Ts)
         model_term = jnp.sum((1.0 / q) * d3 * d3)
         e = w_flat_all * (h_batch(X) - meas_flat)
-        meas_term = jnp.sum(losses.redescending_loss(e, a, b, c))
+        meas_term = jnp.sum(meas_rho(e))
         # limit penalty (exterior): contributes 0 when feasible
         viol = jnp.maximum(lo - X, 0.0) + jnp.maximum(X - hi, 0.0)
         return model_term + meas_term + cfg.limit_penalty * jnp.sum(viol**2)
@@ -149,7 +166,7 @@ def fte_solve(
 
         # ---- measurement GN pieces, frame-local
         e = w_flat_all * (h_batch(X) - meas_flat)  # (N, m) scaled residuals
-        w_irls = jnp.where(robust_on, losses.redescending_weight(e, a, b, c), 1.0)
+        w_irls = jnp.where(robust_on, meas_irls(e), 1.0)
         J = jac_h(X) * w_flat_all[..., None]  # d e / d x  (N, m, P)
         Wm = w_irls  # (N, m)
         H_meas = jnp.einsum("nmi,nm,nmj->nij", J, Wm, J)  # (N, P, P)
@@ -166,16 +183,17 @@ def fte_solve(
         g_lim = 2.0 * cfg.limit_penalty * (viol_hi - viol_lo)  # d/dX of penalty
         h_lim = 2.0 * cfg.limit_penalty * ((viol_lo > 0) | (viol_hi > 0)).astype(dtype)
 
-        # gradient of the GN quadratic model: note objective model term has
-        # no 1/2, so gradients carry a factor 2; scale-consistent H and g:
-        g = 2.0 * (g_meas + g_model) + g_lim  # (N, P)
+        # gradients: the model term sum w*d3^2 has no 1/2 so its gradient
+        # carries a 2; the measurement rho is ~e^2/2 near zero so its GN
+        # pieces enter with factor 1 (ρ' = w_irls * e, ρ'' ~ w_irls)
+        g = g_meas + 2.0 * g_model + g_lim  # (N, P)
 
         bands = []
         for k in range(4):
             bk = jnp.asarray(gram[k], dtype)[:, None] * wq[None, :]  # (N, P)
             Bk = jnp.zeros((N, P, P), dtype).at[:, jnp.arange(P), jnp.arange(P)].set(bk)
             bands.append(2.0 * Bk)
-        bands[0] = bands[0] + 2.0 * H_meas
+        bands[0] = bands[0] + H_meas
         bands[0] = bands[0].at[:, jnp.arange(P), jnp.arange(P)].add(h_lim)
         # LM damping
         diag0 = bands[0][:, jnp.arange(P), jnp.arange(P)]
