@@ -1,0 +1,149 @@
+"""Command-line pipeline driver — the src/all_optimizations.py twin.
+
+    python -m acinoset_tpu.cli all --data_dir <run_dir> \
+        [--start_frame 1] [--end_frame -1] [--dlc_thresh 0.8] [--plot]
+
+Subcommands: dlc | tri | sba | ekf | fte | all (same stage semantics and
+flags as the reference __main__, src/all_optimizations.py:950-983), plus
+  calib    — corners -> intrinsics -> pairwise extrinsics -> board SBA
+  build    — generic-skeleton FTE (src/build.py twin)
+  eval     — reprojection metrics for a result pickle vs GT labels
+"""
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+from glob import glob
+
+
+def _add_run_args(p):
+    p.add_argument("--data_dir", type=str, required=True,
+                   help="The data directory path to the flick/run to be optimized")
+    p.add_argument("--start_frame", type=int, default=1,
+                   help="The frame at which the optimized reconstruction will start at")
+    p.add_argument("--end_frame", type=int, default=-1,
+                   help="The frame at which the optimized reconstruction will end at")
+    p.add_argument("--dlc_thresh", type=float, default=0.8,
+                   help="Likelihood below which dlc points are excluded")
+    p.add_argument("--plot", action="store_true", help="Show plots")
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="acinoset_tpu — TPU-native AcinoSet pipeline")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name in ("dlc", "tri", "sba", "ekf", "fte", "all"):
+        _add_run_args(sub.add_parser(name))
+
+    pc = sub.add_parser("calib")
+    pc.add_argument("--scene_dir", type=str, required=True,
+                    help="extrinsic_calib dir with points/points_cam*.json")
+    pc.add_argument("--camera_fpaths", type=str, nargs="*", default=None)
+    pc.add_argument("--out", type=str, default=None)
+
+    pb = sub.add_parser("build")
+    pb.add_argument("--top_dir", type=str, required=True)
+    pb.add_argument("--skeleton", type=str, default=None)
+    pb.add_argument("--start_frame", type=int, default=60)
+    pb.add_argument("--n_frames", type=int, default=100)
+    pb.add_argument("--dlc_thresh", type=float, default=0.4)
+
+    pe = sub.add_parser("eval")
+    pe.add_argument("--result", type=str, required=True)
+    pe.add_argument("--gt_h5", type=str, nargs="+", required=True)
+    pe.add_argument("--cams", type=int, nargs="+", required=True)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd in ("dlc", "tri", "sba", "ekf", "fte", "all"):
+        from .pipeline import app as app_mod
+
+        stages = [args.cmd] if args.cmd != "all" else ["dlc", "tri", "sba", "ekf", "fte"]
+        for stage in stages:
+            print(f"========== {stage.upper()} ==========\n")
+            if stage == "dlc":
+                from .pipeline.video import create_labeled_videos
+
+                vids = sorted(glob(os.path.join(args.data_dir, "cam[1-9].mp4")))
+                if vids:
+                    create_labeled_videos(
+                        vids, out_dir=os.path.join(args.data_dir, "dlc"),
+                        draw_skeleton=True, pcutoff=args.dlc_thresh,
+                    )
+                else:
+                    print("No videos found; skipping dlc video labeling")
+            elif stage == "tri":
+                from .pipeline.tri import tri
+
+                tri(args.data_dir, args.start_frame, args.end_frame, args.dlc_thresh)
+            elif stage == "sba":
+                from .pipeline.sba import sba
+
+                sba(args.data_dir, args.start_frame, args.end_frame, args.dlc_thresh)
+            elif stage == "ekf":
+                from .pipeline.ekf import ekf
+
+                ekf(args.data_dir, args.start_frame, args.end_frame, args.dlc_thresh)
+            elif stage == "fte":
+                from .pipeline.fte import fte
+
+                fte(args.data_dir, args.start_frame, args.end_frame, args.dlc_thresh)
+        if args.cmd == "all":
+            from .pipeline.plots import plot_multiple_cheetah_reconstructions
+
+            fpaths = [
+                os.path.join(args.data_dir, s, f"{s}.pickle") for s in ("sba", "ekf", "fte")
+            ]
+            fpaths = [f for f in fpaths if os.path.exists(f)]
+            plot_multiple_cheetah_reconstructions(
+                fpaths, reprojections=False, dark_mode=True,
+                out_fpath=os.path.join(args.data_dir, "reconstructions.png"),
+            )
+        return 0
+
+    if args.cmd == "calib":
+        from .calib import app as calib_app
+
+        points_fpaths = sorted(glob(os.path.join(args.scene_dir, "points", "points_cam*.json")))
+        n = len(points_fpaths)
+        camera_fpaths = args.camera_fpaths or sorted(
+            glob(os.path.join(args.scene_dir, "..", "intrinsic_calib", "camera_*.json"))
+        )
+        out = args.out or os.path.join(args.scene_dir, f"{n}_cam_scene.json")
+        calib_app.calibrate_fisheye_extrinsics_pairwise(camera_fpaths, points_fpaths, out)
+        calib_app.sba_board_points_fisheye(out, points_fpaths)
+        return 0
+
+    if args.cmd == "build":
+        from .pipeline.generic import build_and_solve
+
+        skel = args.skeleton or os.path.join(args.top_dir, "skeletons", "new_human.pickle")
+        build_and_solve(
+            skel, args.top_dir, start_frame=args.start_frame,
+            n_frames=args.n_frames, dlc_thresh=args.dlc_thresh,
+        )
+        return 0
+
+    if args.cmd == "eval":
+        import numpy as np
+
+        from .eval.metrics import evaluate_reconstruction
+        from .pipeline import data as data_io
+
+        payload = data_io.load_pickle(args.result)
+        scene = payload.get("scene_fpath")
+        k, d, r, t, _res = data_io.load_scene(scene)
+        gt = []
+        for fp in args.gt_h5:
+            _frames, _mk, vals = data_io._read_dlc_h5(fp)
+            gt.append(vals[..., :2])
+        res = evaluate_reconstruction(
+            payload["positions"], gt, k, d.reshape(-1, 4), r, t, cam_indices=args.cams
+        )
+        for cam, m in res.items():
+            print(cam, {k2: round(v, 4) if isinstance(v, float) else v for k2, v in m.items()})
+        return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -195,10 +195,13 @@ def _read_dlc_h5(fpath) -> Tuple[np.ndarray, List[str], np.ndarray]:
             frames = table["index"].astype(np.int64)
             vals = table["values_block_0"].astype(np.float64)
         else:  # pandas "fixed" format
+            def _s(x):
+                return x.decode() if isinstance(x, bytes) else str(x)
+
             columns_arrs = [group[f"axis0_level{i}"][:] for i in range(3)]
             labels = [group[f"axis0_label{i}"][:] for i in range(3)]
             columns = [
-                tuple(columns_arrs[lvl][lab[j]].decode() for lvl, lab in enumerate(labels))
+                tuple(_s(columns_arrs[lvl][lab[j]]) for lvl, lab in enumerate(labels))
                 for j in range(len(labels[0]))
             ]
             frames = group["axis1"][:].astype(np.int64)
@@ -220,6 +223,39 @@ def _read_dlc_h5(fpath) -> Tuple[np.ndarray, List[str], np.ndarray]:
             if j is not None:
                 out[:, i, k] = vals[:, j]
     return frames, bodyparts, out
+
+
+def save_dlc_points_h5(
+    fpath: str,
+    pixels: np.ndarray,  # (N, L, 2)
+    likelihood: np.ndarray,  # (N, L)
+    markers: List[str],
+    scorer: str = "acinoset_tpu",
+):
+    """Write a DLC-style .h5 keypoint file (pandas 'fixed'-format layout,
+    emitted directly with h5py so no pytables dependency is needed;
+    `_read_dlc_h5` and DeepLabCut-compatible readers parse it)."""
+    import h5py
+
+    N, L, _ = pixels.shape
+    vals = np.concatenate([pixels, likelihood[..., None]], axis=-1).reshape(N, L * 3)
+    os.makedirs(os.path.dirname(fpath) or ".", exist_ok=True)
+    with h5py.File(fpath, "w") as f:
+        g = f.create_group("df_with_missing")
+        g.attrs["pandas_type"] = np.bytes_(b"frame")
+        g.attrs["CLASS"] = np.bytes_(b"GROUP")
+        str_dt = h5py.string_dtype("utf-8")
+        g.create_dataset("axis0_level0", data=np.array([scorer], dtype=object), dtype=str_dt)
+        g.create_dataset("axis0_level1", data=np.array(markers, dtype=object), dtype=str_dt)
+        g.create_dataset(
+            "axis0_level2", data=np.array(["x", "y", "likelihood"], dtype=object), dtype=str_dt
+        )
+        g.create_dataset("axis0_label0", data=np.zeros(L * 3, dtype=np.int64))
+        g.create_dataset("axis0_label1", data=np.repeat(np.arange(L, dtype=np.int64), 3))
+        g.create_dataset("axis0_label2", data=np.tile(np.arange(3, dtype=np.int64), L))
+        g.create_dataset("axis1", data=np.arange(N, dtype=np.int64))
+        g.create_dataset("block0_values", data=vals.astype(np.float64))
+    return fpath
 
 
 @dataclass
