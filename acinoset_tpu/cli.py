@@ -48,6 +48,13 @@ def main(argv=None):
     pb.add_argument("--n_frames", type=int, default=100)
     pb.add_argument("--dlc_thresh", type=float, default=0.4)
 
+    ps = sub.add_parser("sweep")
+    ps.add_argument("--root_dir", type=str, required=True,
+                    help="Dataset root; every dir containing dlc/*.h5 becomes a run")
+    ps.add_argument("--dlc_thresh", type=float, default=0.8)
+    ps.add_argument("--num_iters", type=int, default=60)
+    ps.add_argument("--max_frames", type=int, default=None)
+
     pe = sub.add_parser("eval")
     pe.add_argument("--result", type=str, required=True)
     pe.add_argument("--gt_h5", type=str, nargs="+", required=True)
@@ -121,6 +128,15 @@ def main(argv=None):
         build_and_solve(
             skel, args.top_dir, start_frame=args.start_frame,
             n_frames=args.n_frames, dlc_thresh=args.dlc_thresh,
+        )
+        return 0
+
+    if args.cmd == "sweep":
+        from .pipeline.sweep import sweep as run_sweep
+
+        run_sweep(
+            args.root_dir, dlc_thresh=args.dlc_thresh,
+            num_iters=args.num_iters, max_frames=args.max_frames,
         )
         return 0
 

@@ -1,0 +1,238 @@
+"""Full-dataset sweep — the src/all_flick.sh workload as sharded batches.
+
+The reference processed its 59 released runs strictly sequentially (one
+`all_optimizations.py` invocation each, src/all_flick.sh:3-61), with an
+IPOPT solve per run budgeted at up to an hour. Here every run becomes a
+row of a padded batch: runs are grouped by compile signature
+(fps, padded frame count), each group's trajectories are solved by ONE
+jitted, mesh-sharded banded-GN program (`vmap` over runs, trajectories
+sharded over the 'data' mesh axis, cameras over 'model'), and results
+are scattered back to per-run pickles in the reference layout.
+
+Per-run camera rigs differ, so camera parameters ride along as vmapped
+`aux` inputs instead of being closed over.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from glob import glob
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import cheetah
+from ..ops import camera as cam_ops
+from ..parallel import mesh as mesh_lib
+from ..solvers import trajopt
+from . import app
+from . import data as data_io
+from .fte import default_config, initial_trajectory
+
+
+@dataclass
+class RunData:
+    data_dir: str
+    pixels: np.ndarray  # (C, N, L, 2)
+    likelihood: np.ndarray  # (C, N, L)
+    cams: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]  # k, d, r, t
+    fps: float
+    start_frame: int
+    scene_fpath: str
+
+
+def discover_runs(root_dir: str) -> List[str]:
+    """Find run directories: any dir containing a dlc/ subdir with .h5
+    files and a scene file somewhere above it."""
+    out = []
+    for dirpath, dirnames, _filenames in os.walk(root_dir):
+        if os.path.basename(dirpath) == "dlc" and glob(os.path.join(dirpath, "*.h5")):
+            out.append(os.path.dirname(dirpath))
+    return sorted(out)
+
+
+def load_run(
+    data_dir: str,
+    start_frame: int = 1,
+    end_frame: int = -1,
+    max_cams: Optional[int] = None,
+) -> RunData:
+    k_arr, d_arr, r_arr, t_arr, cam_res, n_cams, scene_fpath = data_io.find_scene_file(
+        data_dir, verbose=False
+    )
+    try:
+        _res, fps, tot, _ = app.get_vid_info(data_dir)
+    except FileNotFoundError:
+        fps, tot = 120.0, None
+    fpaths = sorted(glob(os.path.join(data_dir, "dlc", "*.h5")))
+    p2d = data_io.load_dlc_points(fpaths, markers=cheetah.get_markers())
+    start0 = start_frame - 1
+    end = p2d.pixels.shape[1] if end_frame == -1 else end_frame
+    win = p2d.window(start0, end)
+    return RunData(
+        data_dir=data_dir,
+        pixels=win.pixels,
+        likelihood=np.nan_to_num(win.likelihood, nan=-1.0),
+        cams=(k_arr, d_arr.reshape(-1, 4), r_arr, np.asarray(t_arr).reshape(-1, 3)),
+        fps=float(fps),
+        start_frame=start0,
+        scene_fpath=scene_fpath,
+    )
+
+
+def _pad_run(run: RunData, N: int, C: int):
+    """Pad a run to (C, N, L, 2) frames/cameras; padded entries weight 0."""
+    c0, n0, L, _ = run.pixels.shape
+    pix = np.zeros((C, N, L, 2))
+    lik = np.full((C, N, L), -1.0)
+    pix[:c0, :n0] = np.nan_to_num(run.pixels)
+    lik[:c0, :n0] = run.likelihood
+    k, d, r, t = run.cams
+    K = np.tile(np.eye(3), (C, 1, 1))
+    D = np.zeros((C, 4))
+    R = np.tile(np.eye(3), (C, 1, 1))
+    T = np.zeros((C, 3))
+    T[:, 2] = 10.0  # benign pose for padded cameras
+    K[:c0], D[:c0], R[:c0], T[:c0] = k, d, r, t
+    return pix, lik, (K, D, R, T), n0
+
+
+def _h_fn_aux(dtype):
+    def h(pose25, aux):
+        K, D, R, T = aux
+        pts = cheetah.fk25(pose25)
+        return jax.vmap(
+            lambda k, d, r, t: cam_ops.project_points_fisheye(pts, k, d, r, t)
+        )(K, D, R, T)
+
+    return h
+
+
+def solve_batch(
+    runs: Sequence[RunData],
+    dlc_thresh: float,
+    num_iters: int = 60,
+    mesh=None,
+    dtype=jnp.float32,
+) -> List[Dict]:
+    """Solve a group of runs (same fps) as one sharded batched program."""
+    fps = runs[0].fps
+    N = max(r.pixels.shape[1] for r in runs)
+    C = max(r.pixels.shape[0] for r in runs)
+    cfg = default_config(fps, num_iters=num_iters)
+
+    pix_b, lik_b, cams_b, n_valid = [], [], [], []
+    X0_b = []
+    for run in runs:
+        pix, lik, cams, n0 = _pad_run(run, N, C)
+        k, d, r, t = run.cams
+        X0 = initial_trajectory(
+            run.pixels, run.likelihood, k, d, r, t,
+            np.arange(run.pixels.shape[1]), dlc_thresh,
+        )
+        X0_full = np.concatenate(
+            [X0, np.repeat(X0[-1:], N - X0.shape[0], axis=0)], axis=0
+        )
+        pix_b.append(pix)
+        lik_b.append(lik)
+        cams_b.append(cams)
+        n_valid.append(n0)
+        X0_b.append(X0_full)
+
+    B = len(runs)
+    meas = np.stack(pix_b).transpose(0, 2, 1, 3, 4)  # (B, N, C, L, 2)
+    lik = np.stack(lik_b).transpose(0, 2, 1, 3)  # (B, N, C, L)
+    w = (lik > dlc_thresh).astype(np.float64) / cfg.meas_std_px
+    # zero weight on padded frames
+    for i, n0 in enumerate(n_valid):
+        w[i, n0:] = 0.0
+    aux = tuple(np.stack([c[j] for c in cams_b]) for j in range(4))  # each (B, C, ...)
+
+    h = _h_fn_aux(dtype)
+    mesh = mesh or mesh_lib.make_mesh(model_axis=False)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("data"))
+
+    def batched(X0, meas, w, aux):
+        return jax.vmap(
+            lambda a, b, c, x: trajopt.fte_solve(h, a, b, c, cfg, aux=x)[0]
+        )(X0, meas, w, aux)
+
+    # pad batch to the data-axis size
+    n_dev = mesh.shape["data"]
+    (X0p, measp, wp), B0 = mesh_lib.pad_batch(
+        [np.stack(X0_b), meas, w], n_dev
+    )
+    aux_p = []
+    for a in aux:
+        (ap,), _ = mesh_lib.pad_batch([a], n_dev)
+        aux_p.append(jax.device_put(jnp.asarray(ap, dtype), shard))
+    Xb = jax.jit(batched)(
+        jax.device_put(jnp.asarray(X0p, dtype), shard),
+        jax.device_put(jnp.asarray(measp, dtype), shard),
+        jax.device_put(jnp.asarray(wp, dtype), shard),
+        tuple(aux_p),
+    )
+    Xb = np.asarray(Xb[:B0])
+
+    results = []
+    for i, run in enumerate(runs):
+        n0 = n_valid[i]
+        X = Xb[i, :n0].astype(np.float64)
+        positions = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(X)))
+        dx, ddx = trajopt.derivatives_from_trajectory(jnp.asarray(X), 1.0 / run.fps)
+        results.append(
+            dict(
+                data_dir=run.data_dir,
+                positions=positions,
+                x=X,
+                dx=np.asarray(dx),
+                ddx=np.asarray(ddx),
+                start_frame=run.start_frame,
+                scene_fpath=run.scene_fpath,
+            )
+        )
+    return results
+
+
+def sweep(
+    root_dir: str,
+    dlc_thresh: float = 0.8,
+    num_iters: int = 60,
+    save: bool = True,
+    max_frames: Optional[int] = None,
+) -> List[Dict]:
+    """Run batched FTE over every run under root_dir (all_flick twin).
+
+    Groups runs by fps (compile signature), solves each group as one
+    sharded program, writes per-run fte/fte.pickle.
+    """
+    run_dirs = discover_runs(root_dir)
+    print(f"Found {len(run_dirs)} runs under {root_dir}")
+    runs = [load_run(d, end_frame=(max_frames or -1)) for d in run_dirs]
+    groups: Dict[float, List[RunData]] = {}
+    for r in runs:
+        groups.setdefault(r.fps, []).append(r)
+
+    all_results = []
+    for fps, group in groups.items():
+        print(f"Solving {len(group)} runs @ {fps} fps as one batch")
+        results = solve_batch(group, dlc_thresh, num_iters=num_iters)
+        all_results.extend(results)
+        if save:
+            for res in results:
+                out_dir = os.path.join(res["data_dir"], "fte")
+                os.makedirs(out_dir, exist_ok=True)
+                app.save_optimised_cheetah(
+                    res["positions"],
+                    os.path.join(out_dir, "fte.pickle"),
+                    extra_data=dict(
+                        x=res["x"], dx=res["dx"], ddx=res["ddx"],
+                        start_frame=res["start_frame"],
+                    ),
+                )
+    return all_results

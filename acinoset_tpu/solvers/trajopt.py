@@ -108,17 +108,24 @@ def fte_objective(X, h_fn, meas, w_meas, cfg: FteConfig):
 
 @f32_matmuls
 def fte_solve(
-    h_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    h_fn: Callable[..., jnp.ndarray],
     X0: jnp.ndarray,  # (N, P) initial trajectory
     meas: jnp.ndarray,  # (N, C, L, 2) pixel measurements (NaN-free; mask via w)
     w_meas: jnp.ndarray,  # (N, C, L) weights: 1/R if trusted else 0 (:302-308)
     cfg: FteConfig,
+    aux=None,
 ):
     """Solve one FTE trajectory. Returns (X, info dict).
 
     Fully jit-able; vmap over leading batch of (X0, meas, w_meas) for
-    multi-trajectory solves.
+    multi-trajectory solves. ``aux`` is an optional pytree of
+    per-trajectory parameters forwarded to ``h_fn(x, aux)`` (e.g. camera
+    intrinsics/extrinsics when batching across runs with different
+    rigs) — vmap over it alongside the data.
     """
+    if aux is not None:
+        base_h = h_fn
+        h_fn = lambda x: base_h(x, aux)  # noqa: E731
     N, P = X0.shape
     dtype = X0.dtype
     q = jnp.asarray(cfg.q_var, dtype)
