@@ -357,27 +357,54 @@ def find_corners(
 
 
 def find_corners_images(
-    image_paths: List[str], board_shape: Tuple[int, int], verbose: bool = True
+    image_paths: List[str],
+    board_shape: Tuple[int, int],
+    verbose: bool = True,
+    engine: str = "auto",
 ):
     """Batch detection over image files (twin of src/calib/points.py:44-69).
 
+    engine: 'auto' uses the multithreaded C++ engine
+    (native/corners.cpp via calib.native) when built, else the JAX path;
+    'native' requires it; 'jax' forces the pure-JAX detector.
     Returns (points (F, h, w, 2), found_fnames, shape)."""
     import imageio.v2 as imageio
     import os
 
+    imgs = [imageio.imread(p) for p in image_paths]
+    shape = imgs[0].shape[:2] if imgs else (0, 0)
+    for im in imgs:
+        assert im.shape[:2] == shape, "Inconsistent image resolutions"
+
+    use_native = False
+    if engine in ("auto", "native"):
+        from . import native as native_mod
+
+        use_native = native_mod.available()
+        if engine == "native" and not use_native:
+            raise RuntimeError("native engine requested but library not built")
+
     pts, names = [], []
-    shape = None
-    for p in image_paths:
-        img = imageio.imread(p)
-        if shape is None:
-            shape = img.shape[:2]
-        assert img.shape[:2] == shape, "Inconsistent image resolutions"
-        corners, ok = find_corners(img, board_shape)
-        if ok:
-            pts.append(corners)
-            names.append(os.path.basename(p))
-            if verbose:
-                print(f"Found corners in {p}")
-        elif verbose:
-            print(f"No checkerboard in {p}")
+    if use_native:
+        from . import native as native_mod
+
+        grids, found = native_mod.find_corners_batch(imgs, board_shape)
+        for p, g, ok in zip(image_paths, grids, found):
+            if ok:
+                pts.append(g)
+                names.append(os.path.basename(p))
+                if verbose:
+                    print(f"Found corners in {p}")
+            elif verbose:
+                print(f"No checkerboard in {p}")
+    else:
+        for p, img in zip(image_paths, imgs):
+            corners, ok = find_corners(img, board_shape)
+            if ok:
+                pts.append(corners)
+                names.append(os.path.basename(p))
+                if verbose:
+                    print(f"Found corners in {p}")
+            elif verbose:
+                print(f"No checkerboard in {p}")
     return np.array(pts), names, (shape[1], shape[0])
