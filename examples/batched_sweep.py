@@ -1,0 +1,27 @@
+"""Example: the full-dataset FTE sweep as one sharded TPU program.
+
+Twin of the reference's src/all_flick.sh (59 sequential CLI runs) —
+here every run under --root_dir is a batch row solved simultaneously.
+
+    python examples/batched_sweep.py --root_dir /data
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from acinoset_tpu.pipeline.sweep import sweep
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root_dir", required=True)
+    ap.add_argument("--dlc_thresh", type=float, default=0.5)
+    ap.add_argument("--num_iters", type=int, default=60)
+    args = ap.parse_args()
+
+    t0 = time.perf_counter()
+    results = sweep(args.root_dir, dlc_thresh=args.dlc_thresh, num_iters=args.num_iters)
+    dt = time.perf_counter() - t0
+    print(f"\nSolved {len(results)} runs in {dt:.1f} s ({len(results) / dt:.2f} runs/s)")
