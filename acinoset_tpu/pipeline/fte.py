@@ -136,7 +136,10 @@ def fte(
     )
     if save:
         os.makedirs(out_dir, exist_ok=True)
-        states = dict(x=result["x"], dx=result["dx"], ddx=result["ddx"], start_frame=start0)
+        states = dict(
+            x=result["x"], dx=result["dx"], ddx=result["ddx"], start_frame=start0,
+            cost_history=result["cost_history"],
+        )
         app.save_optimised_cheetah(
             result["positions"], os.path.join(out_dir, "fte.pickle"), extra_data=states
         )
