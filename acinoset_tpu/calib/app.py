@@ -84,20 +84,35 @@ def calibrate_fisheye_extrinsics_pairwise(
     dummy_scene_fpath: Optional[str] = None,
 ):
     """Per-camera intrinsics + per-camera points -> chained scene JSON
-    (src/calib/app.py:84-124; the dummy_scene_fpath kwarg of the missing
-    lib fills absent-camera slots from configs/dummy_scene.json)."""
+    (src/calib/app.py:84-124). A points path of None/'' marks a camera
+    with no usable footage this session; its slot is filled from
+    ``dummy_scene_fpath`` (configs/dummy_scene.json semantics of the
+    missing lib.app) so downstream n-camera indexing stays intact."""
     k_arr, d_arr = [], []
     for fp in camera_fpaths:
         k, d, _res = data_io.load_camera(fp)
         k_arr.append(k)
         d_arr.append(d.reshape(-1)[:4])
+
+    present = [i for i, fp in enumerate(points_fpaths) if fp]
     img_pts_arr, fnames_arr, board_shape, board_edge_len, cam_res = _load_multicam_points(
-        points_fpaths
+        [points_fpaths[i] for i in present]
     )
-    r_arr, t_arr = ext_mod.calibrate_pairwise_extrinsics(
+    r_sub, t_sub = ext_mod.calibrate_pairwise_extrinsics(
         ext_mod.calibrate_pair_extrinsics_fisheye,
-        img_pts_arr, fnames_arr, k_arr, d_arr, cam_res, board_shape, board_edge_len,
+        img_pts_arr, fnames_arr,
+        [k_arr[i] for i in present], [d_arr[i] for i in present],
+        cam_res, board_shape, board_edge_len,
     )
+    if len(present) == len(points_fpaths):
+        r_arr, t_arr = r_sub, t_sub
+    else:
+        assert dummy_scene_fpath, "missing cameras need dummy_scene_fpath"
+        dk, dd, dr, dt, _dres = data_io.load_scene(dummy_scene_fpath)
+        r_arr = [dr[min(i, len(dr) - 1)] for i in range(len(points_fpaths))]
+        t_arr = [dt[min(i, len(dt) - 1)] for i in range(len(points_fpaths))]
+        for j, i in enumerate(present):
+            r_arr[i], t_arr[i] = r_sub[j], t_sub[j]
     data_io.save_scene(out_fpath, k_arr, [d.reshape(4, 1) for d in d_arr], r_arr, t_arr, cam_res)
     return k_arr, d_arr, r_arr, t_arr
 

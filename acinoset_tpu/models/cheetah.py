@@ -270,3 +270,36 @@ EKF_QB = np.array(
 #: (src/all_optimizations.py:243, 25-27)
 MEAS_STD_PX = 5.0
 REDESC_A, REDESC_B, REDESC_C = 3.0, 10.0, 20.0
+
+
+def to_skeleton_dict():
+    """Export the hard-coded cheetah as a skeleton dictionary compatible
+    with the generic builder / skeleton pickles (rest positions = the
+    zero-pose marker layout; dofs from the joint table).
+
+    Note: the generic-link FK (build_skeleton_model) composes each
+    marker's rotation from its own part dofs, which is a slightly
+    different factorization than the FTE chain (where eyes/nose ride the
+    head frame); the exported dict is for interchange/visualization, the
+    canonical FTE model remains `fk`.
+    """
+    zero = np.asarray(fk(np.zeros(N_POSE)))
+    positions = {m: list(map(float, zero[i])) for i, m in enumerate(MARKERS)}
+    # marker -> owning joint dofs
+    dof_map = {}
+    joint_names = list(JOINTS)
+    for name, _base, frame_j, _off in MARKER_SPECS:
+        _parent, hx, hy, hz = JOINTS[joint_names[frame_j]]
+        dof_map[name] = [int(hx), int(hy), int(hz)]
+    links = [
+        ["nose", "neck_base"], ["neck_base", "spine"], ["spine", "tail_base"],
+        ["tail_base", "tail1"], ["tail1", "tail2"],
+        ["neck_base", "l_shoulder"], ["l_shoulder", "l_front_knee"],
+        ["l_front_knee", "l_front_ankle"],
+        ["neck_base", "r_shoulder"], ["r_shoulder", "r_front_knee"],
+        ["r_front_knee", "r_front_ankle"],
+        ["tail_base", "l_hip"], ["l_hip", "l_back_knee"], ["l_back_knee", "l_back_ankle"],
+        ["tail_base", "r_hip"], ["r_hip", "r_back_knee"], ["r_back_knee", "r_back_ankle"],
+        ["nose", "l_eye"], ["nose", "r_eye"],
+    ]
+    return dict(links=links, dofs=dof_map, positions=positions, markers=list(MARKERS))

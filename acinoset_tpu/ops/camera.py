@@ -214,6 +214,65 @@ def undistort_points_pinhole(pts, K, D, num_iters: int = 20):
 
 
 # --------------------------------------------------------------------------
+# Image undistortion (remap grids + bilinear gather)
+# --------------------------------------------------------------------------
+
+
+def undistort_rectify_map_fisheye(K, D, new_K, size):
+    """Build the (map_x, map_y) source-pixel grids that undistort a
+    fisheye image — twin of cv2.fisheye.initUndistortRectifyMap as used
+    by create_undistort_fisheye_img_function (src/calib/calib.py:101-106).
+
+    size: (width, height) of the output image.
+    """
+    W, H = size
+    u, v = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32))
+    # output pixel -> ideal normalized coords under new_K
+    a = (u - new_K[0, 2]) / new_K[0, 0]
+    b = (v - new_K[1, 2]) / new_K[1, 1]
+    # distort: normalized -> fisheye source pixel
+    r = jnp.sqrt(a * a + b * b + 1e-12)
+    theta = jnp.arctan(r)
+    th_d = distort_theta(theta, jnp.asarray(D).reshape(-1)[:4])
+    scale = th_d / r
+    map_x = K[0, 0] * (a * scale) + K[0, 2]
+    map_y = K[1, 1] * (b * scale) + K[1, 2]
+    return map_x, map_y
+
+
+def remap_bilinear(img, map_x, map_y):
+    """Sample img (H, W[, C]) at float source coords; zero outside."""
+    img = jnp.asarray(img)
+    H, W = img.shape[:2]
+    x0 = jnp.floor(map_x).astype(jnp.int32)
+    y0 = jnp.floor(map_y).astype(jnp.int32)
+    fx = (map_x - x0)[..., None] if img.ndim == 3 else map_x - x0
+    fy = (map_y - y0)[..., None] if img.ndim == 3 else map_y - y0
+    inside = (map_x >= 0) & (map_x <= W - 1) & (map_y >= 0) & (map_y <= H - 1)
+    xc0 = jnp.clip(x0, 0, W - 1)
+    yc0 = jnp.clip(y0, 0, H - 1)
+    xc1 = jnp.clip(x0 + 1, 0, W - 1)
+    yc1 = jnp.clip(y0 + 1, 0, H - 1)
+    out = (
+        img[yc0, xc0] * (1 - fx) * (1 - fy)
+        + img[yc0, xc1] * fx * (1 - fy)
+        + img[yc1, xc0] * (1 - fx) * fy
+        + img[yc1, xc1] * fx * fy
+    )
+    mask = inside[..., None] if img.ndim == 3 else inside
+    return jnp.where(mask, out, 0)
+
+
+def undistort_image_fisheye(img, K, D, new_K=None):
+    """Undistort one fisheye image (jit/vmap-able over a frame batch)."""
+    K = jnp.asarray(K)
+    new_K = K if new_K is None else jnp.asarray(new_K)
+    H, W = jnp.asarray(img).shape[:2]
+    map_x, map_y = undistort_rectify_map_fisheye(K, D, new_K, (W, H))
+    return remap_bilinear(img, map_x, map_y)
+
+
+# --------------------------------------------------------------------------
 # Multi-view batched triangulation (TPU-first: masked, dense)
 # --------------------------------------------------------------------------
 

@@ -165,7 +165,14 @@ def ekf(
         smoothed_x=states["smoothed_x"], smoothed_dx=states["smoothed_dx"],
         smoothed_ddx=states["smoothed_ddx"],
     )
+    print("EKF complete!")
+    print("Outliers ignored:", int(states["outliers"]))
     if save:
         os.makedirs(out_dir, exist_ok=True)
         app.save_ekf(keep, out_dir, scene_fpath, start0, dlc_thresh, positions=positions)
+        from .plots import plot_cheetah_states
+
+        plot_cheetah_states(
+            keep["x"], keep["smoothed_x"], os.path.join(out_dir, "ekf.pdf")
+        )
     return dict(positions=positions, states=keep, outliers=int(states["outliers"]))

@@ -92,6 +92,9 @@ def fte_run(
 
     positions = np.asarray(jax.vmap(cheetah.fk25)(X))
     dx, ddx = trajopt.derivatives_from_trajectory(X, cfg.Ts)
+    converged = bool(info["converged"])
+    print(f"FTE solve: cost {float(info['cost0']):.1f} -> {float(info['cost']):.1f} "
+          f"({'converged' if converged else 'NOT converged — raise num_iters'})")
     return dict(
         positions=positions,
         x=np.asarray(X),
@@ -100,6 +103,7 @@ def fte_run(
         cost=float(info["cost"]),
         cost0=float(info["cost0"]),
         cost_history=np.asarray(info["cost_history"]),
+        converged=converged,
     )
 
 
@@ -147,4 +151,7 @@ def fte(
             result["positions"], out_dir, scene_fpath, markers,
             cam_ops.project_points_fisheye, start0,
         )
+        from .plots import plot_cheetah_states
+
+        plot_cheetah_states(result["x"], out_fpath=os.path.join(out_dir, "fte.svg"))
     return result

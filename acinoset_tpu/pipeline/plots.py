@@ -150,6 +150,40 @@ def plot_multiple_cheetah_reconstructions(
     return fig
 
 
+def plot_results_with_pan(
+    result_fpath: str,
+    encoder_counts: Optional[np.ndarray] = None,
+    frame_step: int = 10,
+    out_fpath: Optional[str] = None,
+):
+    """Frame-by-frame result playback with rotating-rig pan compensation
+    (the runnable core of src/analyse.py:50-104 / gui.py analyse page):
+    de-rotates each frame's skeleton by the encoder angle before plotting."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    from ..utils import pan_compensation
+
+    payload = data_io.load_pickle(result_fpath)
+    positions = np.asarray(payload["positions"])
+    if encoder_counts is not None:
+        theta = np.asarray(pan_compensation.count_to_rad(np.asarray(encoder_counts)))
+        positions = np.asarray(
+            pan_compensation.rotate_point(positions, -theta[:, None])
+        )
+    fig = plt.figure(figsize=(12, 6))
+    ax = fig.add_subplot(111, projection="3d")
+    for n in range(0, len(positions), max(frame_step, 1)):
+        ax.scatter(*positions[n].T, s=5, alpha=0.7)
+    ax.set_title(f"{os.path.basename(result_fpath)} (pan-compensated)")
+    if out_fpath:
+        fig.savefig(out_fpath)
+    plt.close(fig)
+    return positions
+
+
 def plot_corners(points_fpath: str, out_fpath: Optional[str] = None):
     """Scatter all detected board corners (src/calib/app.py:44-47)."""
     import matplotlib

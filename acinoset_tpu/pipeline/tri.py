@@ -33,6 +33,39 @@ def triangulate_run(
     return np.asarray(pts3d)
 
 
+def get_pairwise_3d_points_from_df(
+    points_2d_df, k_arr, d_arr, r_arr, t_arr, triangulate_func=None
+):
+    """Dataframe-compatible twin of src/calib/calib.py:394-423: tidy
+    [frame, camera, marker, x, y] detections in -> per-(frame, marker)
+    pair-averaged [frame, marker, x, y, z] dataframe out. Internally
+    runs the dense masked JAX triangulation."""
+    import pandas as pd
+
+    from . import data as d_io
+
+    markers = sorted(points_2d_df["marker"].unique())
+    p2d = d_io.points2d_from_df(points_2d_df.assign(likelihood=1.0), markers)
+    pts3d = triangulate_run(
+        np.nan_to_num(p2d.pixels), np.isfinite(p2d.pixels).all(axis=-1),
+        k_arr, d_arr, r_arr, t_arr,
+    )
+    N, L, _ = pts3d.shape
+    frames = np.repeat(np.arange(N), L)
+    mk = np.tile(np.array(markers, dtype=object), N)
+    flat = pts3d.reshape(-1, 3)
+    ok = np.isfinite(flat).all(axis=1)
+    return pd.DataFrame(
+        {
+            "frame": frames[ok],
+            "marker": mk[ok],
+            "x": flat[ok, 0],
+            "y": flat[ok, 1],
+            "z": flat[ok, 2],
+        }
+    )
+
+
 def tri(
     data_dir: str,
     start_frame: int,

@@ -236,7 +236,14 @@ def fte_solve(
         gn_step, (X0, jnp.asarray(cfg.lam0, dtype), cost0), jnp.arange(cfg.num_iters)
     )
     X = jnp.clip(X, lo, hi)
-    return X, dict(cost=cost, cost0=cost0, cost_history=cost_hist, lam=lam)
+    # solver-status surfacing (the reference only streamed IPOPT's log,
+    # SURVEY.md §5): converged = relative progress over the last 10
+    # iterations below IPOPT's configured tol (1e-1, :512)
+    tail = max(cfg.num_iters - 10, 0)
+    converged = (cost_hist[tail] - cost) <= 0.1 * jnp.maximum(jnp.abs(cost), 1.0)
+    return X, dict(
+        cost=cost, cost0=cost0, cost_history=cost_hist, lam=lam, converged=converged
+    )
 
 
 def derivatives_from_trajectory(X, Ts):
