@@ -12,9 +12,8 @@ Skeleton dict schema (skeletons/*.pickle):
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
-import numpy as np
 
 from ..pipeline import data as data_io
 

@@ -29,7 +29,7 @@ the orders differ; we do not reproduce that.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

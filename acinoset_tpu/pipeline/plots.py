@@ -10,7 +10,7 @@ with interactive display when a GUI backend is available).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 

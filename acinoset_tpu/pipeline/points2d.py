@@ -12,7 +12,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from ..ops import camera as cam_ops
+
 from . import data as data_io
 from .ekf import nose_track_linreg
 from .tri import triangulate_run

@@ -11,11 +11,11 @@ from __future__ import annotations
 import os
 import re
 from glob import glob
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 
-from ..models import cheetah as cheetah_model
+
 from . import data as data_io
 from .plots import CHEETAH_LINKS
 

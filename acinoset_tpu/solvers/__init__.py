@@ -1,1 +1,1 @@
-from . import banded, ekf, lm  # noqa: F401
+from . import banded, ekf, lm, trajopt  # noqa: F401

@@ -14,7 +14,7 @@ lower bands are stored. Bandwidth q is static (q=3 for FTE).
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -96,6 +96,130 @@ def block_banded_solve(L_bands: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.nd
 
     _, x = jax.lax.scan(bwd, (zeros, zeros, zeros), (L0, L1s, L2s, L3s, y), reverse=True)
     return x
+
+
+def group_bands_tridiagonal(bands: Sequence[jnp.ndarray], group: int = 3):
+    """Regroup a bandwidth-3 block-banded system into block-*tridiagonal*
+    form with (group*P x group*P) super-blocks.
+
+    Grouping `group` consecutive frames per super-block turns the
+    7-small-op scan step into one Cholesky + one triangular solve on
+    3x-larger blocks and cuts the sequential scan length by `group` —
+    the banded solve is launch-latency-bound on TPU, so this is a ~2-3x
+    wall-clock win at identical math.
+
+    Returns (diag (M, G, G), lower (M, G, G), M, pad) where G = group*P
+    and `pad` frames of identity were appended to make N divisible.
+    """
+    q = len(bands) - 1
+    assert q == 3 and group == 3, "grouping implemented for bandwidth 3, group 3"
+    A0, A1, A2, A3 = bands
+    N, P, _ = A0.shape
+    dtype = A0.dtype
+    M = -(-N // group)
+    pad = M * group - N
+    if pad:
+        eyeP = jnp.broadcast_to(jnp.eye(P, dtype=dtype), (pad, P, P))
+        A0 = jnp.concatenate([A0, eyeP])
+        z = jnp.zeros((pad, P, P), dtype)
+        A1 = jnp.concatenate([A1, z])
+        A2 = jnp.concatenate([A2, z])
+        A3 = jnp.concatenate([A3, z])
+
+    def blk(i):  # frame-level block (row i, col j) of the symmetric matrix
+        return None
+
+    # indices of frames per super-block m: 3m, 3m+1, 3m+2
+    i0 = jnp.arange(M) * 3
+    Z = jnp.zeros((M, P, P), dtype)
+
+    def g(A, off):  # A[k][i0+off] with guard
+        return A[i0 + off]
+
+    # diagonal super-block D[m] (symmetric):
+    # [[A0[3m],   A1[3m+1]^T, A2[3m+2]^T],
+    #  [A1[3m+1], A0[3m+1],   A1[3m+2]^T],
+    #  [A2[3m+2], A1[3m+2],   A0[3m+2]]]
+    r0 = jnp.concatenate([g(A0, 0), _T(g(A1, 1)), _T(g(A2, 2))], axis=2)
+    r1 = jnp.concatenate([g(A1, 1), g(A0, 1), _T(g(A1, 2))], axis=2)
+    r2 = jnp.concatenate([g(A2, 2), g(A1, 2), g(A0, 2)], axis=2)
+    diag = jnp.concatenate([r0, r1, r2], axis=1)  # (M, 3P, 3P)
+
+    # lower super-block L[m] = coupling of group m to group m-1:
+    # rows (3m..3m+2), cols (3m-3..3m-1):
+    # [[A3[3m],   A2[3m],   A1[3m]],
+    #  [0,        A3[3m+1], A2[3m+1]],
+    #  [0,        0,        A3[3m+2]]]
+    s0 = jnp.concatenate([g(A3, 0), g(A2, 0), g(A1, 0)], axis=2)
+    s1 = jnp.concatenate([Z, g(A3, 1), g(A2, 1)], axis=2)
+    s2 = jnp.concatenate([Z, Z, g(A3, 2)], axis=2)
+    lower = jnp.concatenate([s0, s1, s2], axis=1)  # (M, 3P, 3P); lower[0] unused
+    lower = lower.at[0].set(0.0)
+    return diag, lower, M, pad
+
+
+def _T(x):
+    return jnp.swapaxes(x, -1, -2)
+
+
+def block_tridiag_cholesky(diag: jnp.ndarray, lower: jnp.ndarray):
+    """Cholesky of a symmetric block-tridiagonal matrix.
+
+    diag: (M, G, G) diagonal blocks; lower: (M, G, G) with lower[m] the
+    block (m, m-1) (lower[0] ignored). Returns (L_diag, L_off).
+    """
+    M, G, _ = diag.shape
+    dtype = diag.dtype
+    eye = jnp.eye(G, dtype=dtype)
+
+    def step(L_prev, inp):
+        d, l = inp
+        Loff = _tri_solve_right(L_prev, l)
+        S = d - Loff @ Loff.T
+        L0 = jnp.linalg.cholesky(S)
+        return L0, (L0, Loff)
+
+    _, (L_diag, L_off) = jax.lax.scan(step, eye, (diag, lower))
+    return L_diag, L_off
+
+
+def block_tridiag_solve(L_diag: jnp.ndarray, L_off: jnp.ndarray, b: jnp.ndarray):
+    """Solve A x = b given the block-tridiagonal Cholesky factors.
+    b: (M, G)."""
+    M, G = b.shape
+    dtype = b.dtype
+    zeros = jnp.zeros(G, dtype=dtype)
+
+    def fwd(y_prev, inp):
+        L0, Loff, bn = inp
+        y = jax.scipy.linalg.solve_triangular(L0, bn - Loff @ y_prev, lower=True)
+        return y, y
+
+    _, y = jax.lax.scan(fwd, zeros, (L_diag, L_off, b))
+
+    Loff_next = jnp.concatenate([L_off[1:], jnp.zeros((1, G, G), dtype)])
+
+    def bwd(x_next, inp):
+        L0, Ln1, yn = inp
+        x = jax.scipy.linalg.solve_triangular(
+            L0, yn - Ln1.T @ x_next, lower=True, trans=1
+        )
+        return x, x
+
+    _, x = jax.lax.scan(bwd, zeros, (L_diag, Loff_next, y), reverse=True)
+    return x
+
+
+def banded_solve_grouped(bands: Sequence[jnp.ndarray], g: jnp.ndarray):
+    """Factor + solve the bandwidth-3 system via 3-frame grouping.
+    bands as in block_banded_cholesky; g: (N, P). Returns x (N, P)."""
+    N, P = g.shape
+    diag, lower, M, pad = group_bands_tridiagonal(bands)
+    if pad:
+        g = jnp.concatenate([g, jnp.zeros((pad, P), g.dtype)])
+    L_diag, L_off = block_tridiag_cholesky(diag, lower)
+    x = block_tridiag_solve(L_diag, L_off, g.reshape(M, 3 * P))
+    return x.reshape(-1, P)[:N]
 
 
 def banded_matvec(bands: Sequence[jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:

@@ -18,8 +18,8 @@ Differences by design (documented, all strictly better on TPU):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Callable, Tuple
+
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

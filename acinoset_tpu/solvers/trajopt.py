@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import losses
-from .banded import block_banded_cholesky, block_banded_solve
+from .banded import banded_solve_grouped
 from ..utils.precision import f32_matmuls
 
 
@@ -220,8 +220,10 @@ def fte_solve(
         bands = [
             bands[k] * s[:, :, None] * s_shift[k][:, None, :] for k in range(4)
         ]
-        L = block_banded_cholesky(bands)
-        dX = block_banded_solve(L, -g * s) * s
+        # grouped block-tridiagonal factor+solve (3 frames per 75x75
+        # super-block): same math as the bandwidth-3 scan, one third the
+        # sequential steps — the banded stage is launch-latency-bound
+        dX = banded_solve_grouped(bands, -g * s) * s
 
         X_new = X + dX
         new_cost = objective(X_new)
