@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import losses
-from .banded import banded_solve_grouped
+from .banded import banded_cg_solve, block_banded_cholesky, block_banded_solve
 from ..utils.precision import f32_matmuls
 
 
@@ -58,6 +58,11 @@ class FteConfig:
     meas_loss: str = "redescending"
     num_iters: int = 60  # total GN iterations
     plain_iters: int = 15  # iterations before redescending weights switch on
+    #: linear-system backend: 'chol' (block-banded Cholesky scan, exact) or
+    #: 'cg' (matmul-only conjugate gradient, truncated-Newton; avoids
+    #: TPU-slow triangular kernels)
+    linear_solver: str = "chol"
+    cg_iters: int = 50
     limit_penalty: float = 1e4
     lam0: float = 1e-2
     lam_up: float = 4.0
@@ -220,10 +225,11 @@ def fte_solve(
         bands = [
             bands[k] * s[:, :, None] * s_shift[k][:, None, :] for k in range(4)
         ]
-        # grouped block-tridiagonal factor+solve (3 frames per 75x75
-        # super-block): same math as the bandwidth-3 scan, one third the
-        # sequential steps — the banded stage is launch-latency-bound
-        dX = banded_solve_grouped(bands, -g * s) * s
+        if cfg.linear_solver == "cg":
+            dX = banded_cg_solve(bands, -g * s, num_iters=cfg.cg_iters) * s
+        else:
+            L = block_banded_cholesky(bands)
+            dX = block_banded_solve(L, -g * s) * s
 
         X_new = X + dX
         new_cost = objective(X_new)
