@@ -23,6 +23,14 @@ Factor results overwrite a VMEM scratch with the same packed layout
 (slot 0 holds Linv of the diagonal, slots 1-3 the eliminated bands).
 Matches `solvers.banded` to float32 round-off; `interpret=True` makes it
 testable on CPU.
+
+Status: numerically verified in interpret mode (see
+tests/test_pallas_kernels.py). On-device compilation currently trips a
+Mosaic limitation in this jax build ("Not implemented: Offset change" on
+1-D masked reductions inside the Cholesky column loop); the XLA scan in
+`solvers.banded` remains the production path until the kernel's column
+loops are reformulated on 2-D tiles for a Mosaic version that lowers
+them.
 """
 from __future__ import annotations
 
