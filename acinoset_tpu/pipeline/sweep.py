@@ -199,17 +199,89 @@ def solve_batch(
     return results
 
 
+def solve_batch_ekf(
+    runs: Sequence[RunData],
+    dlc_thresh: float,
+    dtype=jnp.float32,
+) -> List[Dict]:
+    """Batched EKF+RTS across runs (same padding scheme as the FTE batch;
+    per-run rigs ride along as vmapped camera params)."""
+    from ..solvers import ekf as ekf_solver
+
+    fps = runs[0].fps
+    N = max(r.pixels.shape[1] for r in runs)
+    C = max(r.pixels.shape[0] for r in runs)
+    n_pose = cheetah.N_ACTIVE
+
+    cfg = ekf_solver.EkfConfig(
+        dt=1.0 / fps, dlc_thresh=dlc_thresh,
+        meas_std_px=cheetah.MEAS_STD_PX, max_pixel_err=2704.0,
+    )
+    # shared initial covariance (pipeline/ekf constants)
+    p_ang = np.ones(n_pose - 3)
+    P0 = np.diag(np.concatenate([
+        np.ones(3) * 9.0, p_ang * (np.pi / 4) ** 2,
+        np.ones(3) * 25.0, p_ang * 9.0,
+        np.ones(3) * 9.0, np.concatenate([p_ang[:10] * 9.0, p_ang[10:] * 25.0]),
+    ]))
+
+    pix_b, lik_b, aux_b, x0_b, n_valid = [], [], [], [], []
+    for run in runs:
+        pix, lik, cams, n0 = _pad_run(run, N, C)
+        pix_b.append(pix.transpose(1, 0, 2, 3))
+        lik_b.append(lik.transpose(1, 0, 2))
+        aux_b.append(cams)
+        n_valid.append(n0)
+        k, d, r, t = run.cams
+        X0 = initial_trajectory(
+            run.pixels, run.likelihood, k, d, r, t,
+            np.arange(run.pixels.shape[1]), dlc_thresh,
+        )
+        x0 = np.zeros(3 * n_pose)
+        x0[:n_pose] = X0[0]
+        if len(X0) > 1:  # forward velocity from the straight-line init
+            x0[n_pose : n_pose + 3] = (X0[1, :3] - X0[0, :3]) * fps
+        x0_b.append(x0)
+
+    aux = tuple(np.stack([c[j] for c in aux_b]) for j in range(4))
+    h_aux = _h_fn_aux(dtype)
+
+    def one(pix, lik, x0, auxi):
+        return ekf_solver.run_ekf(
+            lambda p: h_aux(p, auxi), pix, lik,
+            x0, jnp.asarray(P0, dtype), cheetah.EKF_QB, cfg,
+        )
+
+    out = jax.jit(jax.vmap(one))(
+        jnp.asarray(np.stack(pix_b), dtype),
+        jnp.asarray(np.stack(lik_b), dtype),
+        jnp.asarray(np.stack(x0_b), dtype),
+        tuple(jnp.asarray(a, dtype) for a in aux),
+    )
+    results = []
+    for i, run in enumerate(runs):
+        n0 = n_valid[i]
+        states = {k2: np.asarray(v[i][:n0]) if np.asarray(v[i]).ndim else v[i]
+                  for k2, v in out.items() if k2 not in ("P", "smoothed_P", "outliers")}
+        x_s = np.asarray(out["smoothed_x"][i][:n0], np.float64)
+        positions = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(x_s)))
+        results.append(dict(data_dir=run.data_dir, positions=positions, states=states,
+                            start_frame=run.start_frame, scene_fpath=run.scene_fpath))
+    return results
+
+
 def sweep(
     root_dir: str,
     dlc_thresh: float = 0.8,
     num_iters: int = 60,
     save: bool = True,
     max_frames: Optional[int] = None,
+    stages: Sequence[str] = ("fte",),
 ) -> List[Dict]:
-    """Run batched FTE over every run under root_dir (all_flick twin).
-
-    Groups runs by fps (compile signature), solves each group as one
-    sharded program, writes per-run fte/fte.pickle.
+    """Run batched reconstruction over every run under root_dir
+    (all_flick twin). Groups runs by fps (compile signature), solves
+    each group as one sharded program per requested stage ('fte' and/or
+    'ekf'), writes per-run pickles.
     """
     run_dirs = discover_runs(root_dir)
     print(f"Found {len(run_dirs)} runs under {root_dir}")
@@ -220,19 +292,32 @@ def sweep(
 
     all_results = []
     for fps, group in groups.items():
-        print(f"Solving {len(group)} runs @ {fps} fps as one batch")
-        results = solve_batch(group, dlc_thresh, num_iters=num_iters)
-        all_results.extend(results)
-        if save:
-            for res in results:
-                out_dir = os.path.join(res["data_dir"], "fte")
-                os.makedirs(out_dir, exist_ok=True)
-                app.save_optimised_cheetah(
-                    res["positions"],
-                    os.path.join(out_dir, "fte.pickle"),
-                    extra_data=dict(
-                        x=res["x"], dx=res["dx"], ddx=res["ddx"],
-                        start_frame=res["start_frame"],
-                    ),
-                )
+        if "ekf" in stages:
+            print(f"EKF: {len(group)} runs @ {fps} fps as one batch")
+            ekf_results = solve_batch_ekf(group, dlc_thresh)
+            if save:
+                for res in ekf_results:
+                    out_dir = os.path.join(res["data_dir"], "ekf")
+                    os.makedirs(out_dir, exist_ok=True)
+                    app.save_ekf(res["states"], out_dir, res["scene_fpath"],
+                                 res["start_frame"], dlc_thresh,
+                                 positions=res["positions"])
+            if "fte" not in stages:
+                all_results.extend(ekf_results)
+        if "fte" in stages:
+            print(f"FTE: {len(group)} runs @ {fps} fps as one batch")
+            results = solve_batch(group, dlc_thresh, num_iters=num_iters)
+            all_results.extend(results)
+            if save:
+                for res in results:
+                    out_dir = os.path.join(res["data_dir"], "fte")
+                    os.makedirs(out_dir, exist_ok=True)
+                    app.save_optimised_cheetah(
+                        res["positions"],
+                        os.path.join(out_dir, "fte.pickle"),
+                        extra_data=dict(
+                            x=res["x"], dx=res["dx"], ddx=res["ddx"],
+                            start_frame=res["start_frame"],
+                        ),
+                    )
     return all_results

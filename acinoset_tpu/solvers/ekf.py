@@ -138,7 +138,11 @@ def run_ekf(
         PHt = P_pred @ H.T
         K = jax.scipy.linalg.cho_solve((chol, True), PHt.T).T
         x_est = x_pred + K @ residual
-        P_est = (jnp.eye(n_states, dtype=dtype) - K @ H) @ P_pred
+        # Joseph-form covariance update: PSD-preserving and stable in
+        # float32 (the reference's (I-KH)P form slowly diverges there)
+        IKH = jnp.eye(n_states, dtype=dtype) - K @ H
+        P_est = IKH @ P_pred @ IKH.T + (K * Rdiag[None, :]) @ K.T
+        P_est = 0.5 * (P_est + P_est.T)
 
         return (x_est, P_est), (x_pred, P_pred, x_est, P_est, n_outliers)
 

@@ -51,3 +51,16 @@ def test_sweep_batched(dataset_root):
         err = np.linalg.norm(res["positions"] - pts3d, axis=-1)
         assert np.nanmean(err) < 0.06, (res["data_dir"], np.nanmean(err))
         assert os.path.exists(os.path.join(res["data_dir"], "fte", "fte.pickle"))
+
+
+def test_sweep_batched_ekf(dataset_root):
+    root, gts = dataset_root
+    results = sweep.sweep(root, dlc_thresh=0.5, stages=("ekf",))
+    assert len(results) == 3
+    for res in results:
+        pts3d = gts[res["data_dir"]]
+        n = res["positions"].shape[0]
+        # EKF settles after a burn-in; positions should track to ~dm level
+        err = np.linalg.norm(res["positions"][n // 2 :] - pts3d[n // 2 :], axis=-1)
+        assert np.nanmean(err) < 0.15, (res["data_dir"], np.nanmean(err))
+        assert os.path.exists(os.path.join(res["data_dir"], "ekf", "ekf.pickle"))
