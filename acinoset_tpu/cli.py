@@ -148,6 +148,11 @@ def main(argv=None):
 
         payload = data_io.load_pickle(args.result)
         scene = payload.get("scene_fpath")
+        if not (scene and os.path.exists(scene)):
+            # walk up from the result file (older pickles lack the path)
+            *_ignored, scene = data_io.find_scene_file(
+                os.path.dirname(args.result), verbose=False
+            )
         k, d, r, t, _res = data_io.load_scene(scene)
         gt = []
         for fp in args.gt_h5:

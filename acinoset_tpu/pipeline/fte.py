@@ -142,7 +142,8 @@ def fte(
         os.makedirs(out_dir, exist_ok=True)
         states = dict(
             x=result["x"], dx=result["dx"], ddx=result["ddx"], start_frame=start0,
-            cost_history=result["cost_history"],
+            cost_history=result["cost_history"], scene_fpath=scene_fpath,
+            dlc_thresh=dlc_thresh,
         )
         app.save_optimised_cheetah(
             result["positions"], os.path.join(out_dir, "fte.pickle"), extra_data=states
