@@ -36,7 +36,7 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", 96))
     N = int(os.environ.get("BENCH_FRAMES", 100))
-    iters = int(os.environ.get("BENCH_ITERS", 50))
+    iters = int(os.environ.get("BENCH_ITERS", 40))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     dtype = jnp.float32
 
