@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -220,6 +222,90 @@ def banded_solve_grouped(bands: Sequence[jnp.ndarray], g: jnp.ndarray):
     L_diag, L_off = block_tridiag_cholesky(diag, lower)
     x = block_tridiag_solve(L_diag, L_off, g.reshape(M, 3 * P))
     return x.reshape(-1, P)[:N]
+
+
+def _chol_inv_unrolled(A):
+    """Cholesky factor AND its inverse of a small SPD matrix, computed
+    with a trace-time-unrolled column loop of batched arithmetic.
+
+    TPU's native cholesky/triangular_solve lower to slow sequential
+    kernels; for P ~ 25 this unrolled form (static P steps of
+    elementwise ops + matvecs over the batch) is far faster inside
+    scans. A: (..., P, P) -> (L, Linv) with L lower-triangular.
+    """
+    P = A.shape[-1]
+    dtype = A.dtype
+    L = jnp.zeros_like(A)
+    for j in range(P):
+        col = A[..., :, j]
+        if j > 0:
+            col = col - jnp.einsum("...ik,...k->...i", L[..., :, :j], L[..., j, :j])
+        d = jax.lax.rsqrt(jnp.maximum(col[..., j], 1e-30))
+        col = col * d[..., None]
+        mask = (np.arange(P) >= j).astype(np.float32)
+        L = L.at[..., :, j].set(col * jnp.asarray(mask, dtype))
+    # forward-substitution inverse, row by row (static loop)
+    Linv = jnp.zeros_like(A)
+    for i in range(P):
+        ei = jnp.zeros((P,), dtype).at[i].set(1.0)
+        if i > 0:
+            acc = jnp.einsum("...k,...kj->...j", L[..., i, :i], Linv[..., :i, :])
+        else:
+            acc = jnp.zeros_like(A[..., 0, :])
+        row = (ei - acc) / L[..., i, i][..., None]
+        Linv = Linv.at[..., i, :].set(row)
+    return L, Linv
+
+
+def block_banded_solve_unrolled(bands: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.ndarray:
+    """Factor + solve the bandwidth-3 system using unrolled small-matrix
+    Cholesky inverses — matmul/elementwise ops only (no native
+    cholesky/triangular kernels). Same math as block_banded_cholesky +
+    block_banded_solve. bands: [A0..A3] (N, P, P); b: (N, P)."""
+    A0, A1, A2, A3 = bands
+    N, P = b.shape
+    dtype = b.dtype
+    eye = jnp.eye(P, dtype=dtype)
+    zM = jnp.zeros((P, P), dtype)
+    zv = jnp.zeros((P,), dtype)
+
+    def factor_step(carry, inp):
+        (Li_1, L1_1, L2_1), (Li_2, L1_2, _), (Li_3, _, _) = carry
+        a0, a1, a2, a3 = inp
+        L3 = a3 @ Li_3.T
+        L2 = (a2 - L3 @ L1_2.T) @ Li_2.T
+        L1 = (a1 - L3 @ L2_1.T - L2 @ L1_1.T) @ Li_1.T
+        S = a0 - L1 @ L1.T - L2 @ L2.T - L3 @ L3.T
+        _L0, Li0 = _chol_inv_unrolled(S)
+        new_carry = ((Li0, L1, L2), (Li_1, L1_1, L2_1), (Li_2, L1_2, zM))
+        return new_carry, (Li0, L1, L2, L3)
+
+    init_row = (eye, zM, zM)
+    _, (Li0, L1, L2, L3) = jax.lax.scan(
+        factor_step, (init_row, init_row, init_row), (A0, A1, A2, A3)
+    )
+
+    def fwd(carry, inp):
+        y1, y2, y3 = carry
+        Li, l1, l2, l3, bn = inp
+        y = Li @ (bn - l1 @ y1 - l2 @ y2 - l3 @ y3)
+        return (y, y1, y2), y
+
+    _, y = jax.lax.scan(fwd, (zv, zv, zv), (Li0, L1, L2, L3, b))
+
+    pad = jnp.zeros((3, P, P), dtype)
+    L1s = jnp.concatenate([L1[1:], pad[:1]])
+    L2s = jnp.concatenate([L2[2:], pad[:2]])
+    L3s = jnp.concatenate([L3[3:], pad[:3]])
+
+    def bwd(carry, inp):
+        x1, x2, x3 = carry
+        Li, l1n, l2n, l3n, yn = inp
+        x = Li.T @ (yn - l1n.T @ x1 - l2n.T @ x2 - l3n.T @ x3)
+        return (x, x1, x2), x
+
+    _, x = jax.lax.scan(bwd, (zv, zv, zv), (Li0, L1s, L2s, L3s, y), reverse=True)
+    return x
 
 
 def banded_cg_solve(

@@ -41,7 +41,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import losses
-from .banded import banded_cg_solve, block_banded_cholesky, block_banded_solve
+from .banded import (
+    banded_cg_solve,
+    block_banded_cholesky,
+    block_banded_solve,
+    block_banded_solve_unrolled,
+)
 from ..utils.precision import f32_matmuls
 
 
@@ -58,10 +63,11 @@ class FteConfig:
     meas_loss: str = "redescending"
     num_iters: int = 60  # total GN iterations
     plain_iters: int = 15  # iterations before redescending weights switch on
-    #: linear-system backend: 'chol' (block-banded Cholesky scan, exact) or
-    #: 'cg' (matmul-only conjugate gradient, truncated-Newton; avoids
-    #: TPU-slow triangular kernels)
-    linear_solver: str = "chol"
+    #: linear-system backend: 'chol_unrolled' (default — banded Cholesky
+    #: with trace-time-unrolled small-matrix factor/inverse; 4.5x faster
+    #: than native TPU cholesky/triangular kernels), 'chol' (native
+    #: kernels), or 'cg' (matmul-only truncated-Newton CG)
+    linear_solver: str = "chol_unrolled"
     cg_iters: int = 50
     limit_penalty: float = 1e4
     lam0: float = 1e-2
@@ -227,9 +233,11 @@ def fte_solve(
         ]
         if cfg.linear_solver == "cg":
             dX = banded_cg_solve(bands, -g * s, num_iters=cfg.cg_iters) * s
-        else:
+        elif cfg.linear_solver == "chol":
             L = block_banded_cholesky(bands)
             dX = block_banded_solve(L, -g * s) * s
+        else:
+            dX = block_banded_solve_unrolled(bands, -g * s) * s
 
         X_new = X + dX
         new_cost = objective(X_new)

@@ -55,3 +55,17 @@ def test_banded_small_n():
     L = banded.block_banded_cholesky([jnp.asarray(B) for B in bands])
     x = np.asarray(banded.block_banded_solve(L, jnp.asarray(b)))
     np.testing.assert_allclose(x, np.linalg.solve(A, b.reshape(-1)).reshape(3, 2), atol=1e-9)
+
+
+def test_banded_unrolled_matches_dense(rng):
+    import jax.numpy as jnp
+
+    for N, P in [(12, 5), (30, 25), (3, 2)]:
+        A, bands = make_spd_banded(rng, N, P)
+        b = rng.normal(size=(N, P))
+        x = np.asarray(
+            banded.block_banded_solve_unrolled([jnp.asarray(B) for B in bands], jnp.asarray(b))
+        )
+        np.testing.assert_allclose(
+            x, np.linalg.solve(A, b.reshape(-1)).reshape(N, P), atol=1e-9
+        )
