@@ -21,6 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import f32_matmuls
+
 
 def _tri_solve_right(L, B):
     """Solve X @ L.T = B for X, with L lower-triangular: X = B L^{-T}."""
@@ -28,6 +30,7 @@ def _tri_solve_right(L, B):
     return jax.scipy.linalg.solve_triangular(L, B.T, lower=True).T
 
 
+@f32_matmuls
 def block_banded_cholesky(bands: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
     """Factor a symmetric positive-definite block-banded matrix.
 
@@ -66,6 +69,7 @@ def block_banded_cholesky(bands: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
     return [L0, L1, L2, L3]
 
 
+@f32_matmuls
 def block_banded_solve(L_bands: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.ndarray:
     """Solve A x = b given the Cholesky bands of A. b: (N, P)."""
     L0, L1, L2, L3 = L_bands
@@ -212,6 +216,7 @@ def block_tridiag_solve(L_diag: jnp.ndarray, L_off: jnp.ndarray, b: jnp.ndarray)
     return x
 
 
+@f32_matmuls
 def banded_solve_grouped(bands: Sequence[jnp.ndarray], g: jnp.ndarray):
     """Factor + solve the bandwidth-3 system via 3-frame grouping.
     bands as in block_banded_cholesky; g: (N, P). Returns x (N, P)."""
@@ -257,6 +262,7 @@ def _chol_inv_unrolled(A):
     return L, Linv
 
 
+@f32_matmuls
 def block_banded_solve_unrolled(bands: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.ndarray:
     """Factor + solve the bandwidth-3 system using unrolled small-matrix
     Cholesky inverses — matmul/elementwise ops only (no native
@@ -308,6 +314,7 @@ def block_banded_solve_unrolled(bands: Sequence[jnp.ndarray], b: jnp.ndarray) ->
     return x
 
 
+@f32_matmuls
 def banded_cg_solve(
     bands: Sequence[jnp.ndarray],
     b: jnp.ndarray,
