@@ -157,10 +157,10 @@ def solve_batch(
 
     shard = NamedSharding(mesh, P("data"))
 
-    def batched(X0, meas, w, aux):
+    def batched(X0, meas, w, aux, nv):
         return jax.vmap(
-            lambda a, b, c, x: trajopt.fte_solve(h, a, b, c, cfg, aux=x)[0]
-        )(X0, meas, w, aux)
+            lambda a, b, c, x, n: trajopt.fte_solve(h, a, b, c, cfg, aux=x, n_valid=n)[0]
+        )(X0, meas, w, aux, nv)
 
     # pad batch to the data-axis size
     n_dev = mesh.shape["data"]
@@ -171,11 +171,13 @@ def solve_batch(
     for a in aux:
         (ap,), _ = mesh_lib.pad_batch([a], n_dev)
         aux_p.append(jax.device_put(jnp.asarray(ap, dtype), shard))
+    (nvp,), _ = mesh_lib.pad_batch([np.asarray(n_valid, np.int32)], n_dev)
     Xb = jax.jit(batched)(
         jax.device_put(jnp.asarray(X0p, dtype), shard),
         jax.device_put(jnp.asarray(measp, dtype), shard),
         jax.device_put(jnp.asarray(wp, dtype), shard),
         tuple(aux_p),
+        jax.device_put(jnp.asarray(nvp), shard),
     )
     Xb = np.asarray(Xb[:B0])
 

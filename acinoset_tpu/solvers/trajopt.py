@@ -123,6 +123,7 @@ def fte_solve(
     w_meas: jnp.ndarray,  # (N, C, L) weights: 1/R if trusted else 0 (:302-308)
     cfg: FteConfig,
     aux=None,
+    n_valid=None,
 ):
     """Solve one FTE trajectory. Returns (X, info dict).
 
@@ -137,6 +138,12 @@ def fte_solve(
     per-trajectory parameters forwarded to ``h_fn(x, aux)`` (e.g. camera
     intrinsics/extrinsics when batching across runs with different
     rigs) — vmap over it alongside the data.
+
+    ``n_valid`` (optional, traceable) marks the true trajectory length
+    when frames are padded for batching: third-difference smoothness
+    rows touching frames >= n_valid are masked out, so padding cannot
+    bias the real tail (padded frames then have zero measurement AND
+    zero model coupling and simply stay at their initialization).
     """
     if aux is not None:
         base_h = h_fn
@@ -147,7 +154,27 @@ def fte_solve(
     lo = jnp.asarray(cfg.lo, dtype)
     hi = jnp.asarray(cfg.hi, dtype)
     a, b, c = cfg.redesc
-    gram = _d3_gram_bands(N, cfg.Ts)  # static numpy (4, N)
+
+    # third-difference row mask (row r involves frames r..r+3)
+    if n_valid is None:
+        row_mask = jnp.ones((max(N - 3, 0),), dtype)
+    else:
+        row_mask = (jnp.arange(N - 3) + 3 < n_valid).astype(dtype)
+
+    # gram bands of D3^T diag(row_mask) D3, assembled from shifted masks:
+    # band_k[n] = sum_{j=k..3} c_j * c_{j-k} * row_mask[n-j]
+    cstencil = np.array([-1.0, 3.0, -3.0, 1.0]) / cfg.Ts**2  # coeff of x[r+j] in row r
+    rm_pad = jnp.concatenate([jnp.zeros((3,), dtype), row_mask, jnp.zeros((3,), dtype)])
+
+    def shifted_rm(j):  # row_mask[n - j] as an (N,) vector
+        return jax.lax.dynamic_slice_in_dim(rm_pad, 3 - j, N)
+
+    gram_bands = []
+    for kk in range(4):
+        acc = jnp.zeros((N,), dtype)
+        for j in range(kk, 4):
+            acc = acc + float(cstencil[j] * cstencil[j - kk]) * shifted_rm(j)
+        gram_bands.append(acc)
 
     meas = jnp.nan_to_num(meas, nan=0.0)
     w = jnp.where(jnp.isfinite(w_meas), w_meas, 0.0)
@@ -174,7 +201,7 @@ def fte_solve(
         return jnp.ones_like(e)
 
     def objective(X):
-        d3 = third_difference(X, cfg.Ts)
+        d3 = third_difference(X, cfg.Ts) * row_mask[:, None]
         model_term = jnp.sum((1.0 / q) * d3 * d3)
         e = w_flat_all * (h_batch(X) - meas_flat)
         meas_term = jnp.sum(meas_rho(e))
@@ -195,9 +222,9 @@ def fte_solve(
         g_meas = jnp.einsum("nmi,nm,nm->ni", J, Wm, e)  # (N, P)
 
         # ---- model (third-difference) pieces, banded
-        d3 = third_difference(X, cfg.Ts)  # (N-3, P)
+        d3 = third_difference(X, cfg.Ts) * row_mask[:, None]  # (N-3, P)
         wq = 1.0 / q  # (P,)
-        g_model = _d3_correlate(d3 * wq, cfg.Ts)  # = D3^T W D3 X
+        g_model = _d3_correlate(d3 * wq, cfg.Ts)  # = D3^T M W D3 X
 
         # ---- limits (quadratic penalty), frame-local diagonal
         viol_lo = jnp.maximum(lo - X, 0.0)
@@ -212,7 +239,7 @@ def fte_solve(
 
         bands = []
         for k in range(4):
-            bk = jnp.asarray(gram[k], dtype)[:, None] * wq[None, :]  # (N, P)
+            bk = gram_bands[k][:, None] * wq[None, :]  # (N, P)
             Bk = jnp.zeros((N, P, P), dtype).at[:, jnp.arange(P), jnp.arange(P)].set(bk)
             bands.append(2.0 * Bk)
         bands[0] = bands[0] + H_meas
