@@ -131,13 +131,14 @@ def fte_solve(
     multi-trajectory solves.
 
     Precision: the measurement stage (FK, Jacobians, H assembly) runs at
-    the platform's default matmul precision (bfloat16 MXU passes on TPU
-    — measured no accuracy loss after Jacobi preconditioning), while the
-    banded factor+solve pins full float32 internally (solvers.banded).
-    This mixed scheme is ~1.5x faster than all-f32 at equal marker error. ``aux`` is an optional pytree of
-    per-trajectory parameters forwarded to ``h_fn(x, aux)`` (e.g. camera
-    intrinsics/extrinsics when batching across runs with different
-    rigs) — vmap over it alongside the data.
+    the platform's default matmul precision (bfloat16 MXU passes on TPU —
+    measured no accuracy loss after Jacobi preconditioning), while the
+    banded factor+solve pins full float32 internally (solvers.banded);
+    this mixed scheme is ~1.5x faster than all-f32 at equal marker error.
+
+    ``aux`` is an optional pytree of per-trajectory parameters forwarded
+    to ``h_fn(x, aux)`` (e.g. camera intrinsics/extrinsics when batching
+    across runs with different rigs) — vmap over it alongside the data.
 
     ``n_valid`` (optional, traceable) marks the true trajectory length
     when frames are padded for batching: third-difference smoothness

@@ -1,0 +1,60 @@
+"""Plot layer smoke tests (headless Agg rendering)."""
+import os
+
+import numpy as np
+import pytest
+
+from acinoset_tpu.models import cheetah
+from acinoset_tpu.pipeline import data, plots
+
+REF = "/root/reference/data"
+
+
+@pytest.fixture()
+def result_pickle(tmp_path):
+    rng = np.random.default_rng(0)
+    X = rng.normal(scale=0.2, size=(12, 25))
+    X[:, 0] = np.linspace(0, 1, 12)
+    import jax
+
+    positions = np.asarray(jax.vmap(cheetah.fk25)(X))
+    fp = str(tmp_path / "fte.pickle")
+    data.save_pickle(fp, dict(positions=positions, x=X))
+    return fp
+
+
+def test_plot_cheetah_states(tmp_path):
+    x = np.random.default_rng(0).normal(size=(50, 25))
+    out = str(tmp_path / "states.svg")
+    plots.plot_cheetah_states(x, smoothed_x=x * 0.9, out_fpath=out)
+    assert os.path.getsize(out) > 1000
+
+
+def test_plot_reconstruction_and_overlay(result_pickle, tmp_path):
+    out = str(tmp_path / "recon.png")
+    plots.plot_cheetah_reconstruction(result_pickle, out_fpath=out, frame_step=4)
+    assert os.path.getsize(out) > 1000
+    out2 = str(tmp_path / "multi.png")
+    plots.plot_multiple_cheetah_reconstructions([result_pickle], out_fpath=out2)
+    assert os.path.getsize(out2) > 1000
+
+
+def test_plot_results_with_pan(result_pickle, tmp_path):
+    enc = np.linspace(0, 5000, 12)
+    out = str(tmp_path / "pan.png")
+    positions = plots.plot_results_with_pan(result_pickle, enc, out_fpath=out)
+    assert positions.shape[0] == 12
+    assert os.path.getsize(out) > 1000
+
+
+def test_calibration_plots(tmp_path):
+    pts_file = f"{REF}/thursday_kiara/extrinsic_calib/points/points_cam1.json"
+    plots.plot_corners(pts_file, out_fpath=str(tmp_path / "corners.png"))
+    cam_file = f"{REF}/intrinsic_calib/2021/camera_1.json"
+    pts2 = f"{REF}/intrinsic_calib/2021/points_1.json"
+    plots.plot_points_fisheye_undistort(pts2, cam_file, out_fpath=str(tmp_path / "und.png"))
+    plots.plot_scene(
+        f"{REF}/4_cam_scene_static_sba.json", out_fpath=str(tmp_path / "scene.png")
+    )
+    for f in ["corners.png", "und.png", "scene.png"]:
+        assert os.path.getsize(tmp_path / f) > 1000
