@@ -62,6 +62,46 @@ def make_h_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
     return h
 
 
+def make_hj_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
+    """Fused (pixels, Jacobian) for one pose, via the chain rule.
+
+    J = J_proj(points) @ J_fk(pose): the FK Jacobian takes all 25
+    tangents through the (cheap) kinematic chain only, and the
+    projection Jacobian is taken w.r.t. just the 3 point coordinates —
+    avoiding 25 tangent passes through the camera model that a plain
+    jacfwd of the composition would do. Returns (h (C*L*2,), J
+    (C*L*2, 25)) for `trajopt.fte_solve(hj_fn=...)`.
+    """
+    k = jnp.asarray(k_arr, dtype)
+    d = jnp.asarray(d_arr, dtype).reshape(k.shape[0], -1)[:, :4]
+    r = jnp.asarray(r_arr, dtype)
+    t = jnp.asarray(t_arr, dtype).reshape(k.shape[0], 3)
+    C = k.shape[0]
+    L = cheetah.N_MARKERS
+
+    fk_and_jac = lambda p: (cheetah.fk25(p), jax.jacfwd(cheetah.fk25)(p))
+
+    def proj_all(pts):  # (L, 3) -> (C, L, 2)
+        return jax.vmap(
+            lambda K, D, R, T: cam_ops.project_points_fisheye(pts, K, D, R, T)
+        )(k, d, r, t)
+
+    jac_proj = jax.jacfwd(
+        lambda pt, K, D, R, T: cam_ops.project_points_fisheye(pt, K, D, R, T)
+    )  # (2, 3) per point
+
+    def hj(pose25):
+        pts, Jfk = fk_and_jac(pose25)  # (L,3), (L,3,25)
+        h = proj_all(pts)  # (C, L, 2)
+        Jp = jax.vmap(
+            lambda K, D, R, T: jax.vmap(lambda p: jac_proj(p, K, D, R, T))(pts)
+        )(k, d, r, t)  # (C, L, 2, 3)
+        J = jnp.einsum("clij,ljk->clik", Jp, Jfk)  # (C, L, 2, 25)
+        return h.reshape(-1), J.reshape(C * L * 2, -1)
+
+    return hj
+
+
 def run_cheetah_ekf(
     pixels: np.ndarray,  # (N, C, L, 2)
     likelihood: np.ndarray,  # (N, C, L)

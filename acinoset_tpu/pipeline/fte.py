@@ -81,6 +81,9 @@ def fte_run(
 
     X0 = initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr, frames, dlc_thresh)
 
+    # note: a chain-rule Jacobian (make_hj_fn) is available via
+    # fte_solve(hj_fn=...) but measured no faster than plain jacfwd on
+    # TPU under bf16 matmul passes — default stays jacfwd
     h_fn = make_h_fn(k_arr, d_arr, r_arr, t_arr, dtype)
     meas = jnp.asarray(pixels.transpose(1, 0, 2, 3), dtype)  # (N, C, L, 2)
     lik = np.nan_to_num(likelihood.transpose(1, 0, 2), nan=-1.0)

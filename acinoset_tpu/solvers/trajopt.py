@@ -124,6 +124,7 @@ def fte_solve(
     cfg: FteConfig,
     aux=None,
     n_valid=None,
+    hj_fn=None,
 ):
     """Solve one FTE trajectory. Returns (X, info dict).
 
@@ -145,10 +146,18 @@ def fte_solve(
     rows touching frames >= n_valid are masked out, so padding cannot
     bias the real tail (padded frames then have zero measurement AND
     zero model coupling and simply stay at their initialization).
+
+    ``hj_fn`` optionally supplies a fused (h(x), J(x)) evaluation for one
+    frame (J flat (m, P)) — e.g. a chain-rule split J = J_proj @ J_fk
+    that avoids pushing all P tangents through the camera projection
+    (see pipeline.ekf.make_hj_fn). Defaults to jacfwd of h_fn.
     """
     if aux is not None:
         base_h = h_fn
         h_fn = lambda x: base_h(x, aux)  # noqa: E731
+        if hj_fn is not None:
+            base_hj = hj_fn
+            hj_fn = lambda x: base_hj(x, aux)  # noqa: E731
     N, P = X0.shape
     dtype = X0.dtype
     q = jnp.asarray(cfg.q_var, dtype)
@@ -181,8 +190,12 @@ def fte_solve(
     w = jnp.where(jnp.isfinite(w_meas), w_meas, 0.0)
 
     h_flat = lambda x: h_fn(x).reshape(-1)  # (m,)
-    jac_h = jax.vmap(jax.jacfwd(h_flat))  # (N, m, P)
     h_batch = jax.vmap(h_flat)
+    if hj_fn is None:
+        _jac = jax.jacfwd(h_flat)
+        hj_batch = jax.vmap(lambda x: (h_flat(x), _jac(x)))
+    else:
+        hj_batch = jax.vmap(hj_fn)
 
     w_flat_all = jnp.repeat(w.reshape(N, -1), 2, axis=-1)  # (N, m)
     meas_flat = meas.reshape(N, -1)
@@ -215,9 +228,10 @@ def fte_solve(
         robust_on = it >= cfg.plain_iters
 
         # ---- measurement GN pieces, frame-local
-        e = w_flat_all * (h_batch(X) - meas_flat)  # (N, m) scaled residuals
+        hX, JX = hj_batch(X)  # (N, m), (N, m, P)
+        e = w_flat_all * (hX - meas_flat)  # (N, m) scaled residuals
         w_irls = jnp.where(robust_on, meas_irls(e), 1.0)
-        J = jac_h(X) * w_flat_all[..., None]  # d e / d x  (N, m, P)
+        J = JX * w_flat_all[..., None]  # d e / d x  (N, m, P)
         Wm = w_irls  # (N, m)
         H_meas = jnp.einsum("nmi,nm,nmj->nij", J, Wm, J)  # (N, P, P)
         g_meas = jnp.einsum("nmi,nm,nm->ni", J, Wm, e)  # (N, P)

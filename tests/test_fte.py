@@ -98,3 +98,21 @@ def test_fte_vmappable(synth):
     Xb = solve(X0b, measb, wb)
     assert Xb.shape == (batch, N, 25)
     np.testing.assert_allclose(np.asarray(Xb[0]), np.asarray(Xb[2]), atol=1e-10)
+
+
+def test_hj_fn_matches_jacfwd(synth):
+    """The chain-rule (h, J) hook equals jacfwd of the composition."""
+    import jax as J
+
+    from acinoset_tpu.pipeline.ekf import make_hj_fn
+
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
+    hj = make_hj_fn(k_arr, d_arr, r_arr, t_arr)
+    x = jnp.asarray(np.linspace(-0.2, 0.2, 25))
+    h1 = h(x).reshape(-1)
+    J1 = J.jacfwd(lambda p: h(p).reshape(-1))(x)
+    h2, J2 = hj(x)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(J1), np.asarray(J2), atol=1e-10)
