@@ -144,6 +144,25 @@ def _active_order_45() -> np.ndarray:
 ACTIVE_IDX_ORDERED = _active_order_45()  # dense-25 order -> 45 slots
 
 
+#: permutation mapping the dense-25 (get_pose_params / EKF qb_list order)
+#: to the reference FTE-pickle column order. The reference's convert_m
+#: (src/all_optimizations.py:539-546) strips Q==0 entries from the
+#: 45-vector, leaving the 25 active params in ascending 45-index order —
+#: which differs from the EKF order (the reference itself uses both).
+FTE_SAVE_ORDER = np.argsort(ACTIVE_IDX_ORDERED)
+
+
+def to_fte_order(x25):
+    """Dense-25 (pose-param order) -> reference fte.pickle column order."""
+    return jnp.asarray(x25)[..., FTE_SAVE_ORDER]
+
+
+def from_fte_order(x25_fte):
+    """Reference fte.pickle column order -> dense-25 pose-param order."""
+    inv = np.argsort(FTE_SAVE_ORDER)
+    return jnp.asarray(x25_fte)[..., inv]
+
+
 def expand_pose(x25):
     """Dense active pose (..., 25) -> full 45 layout (unused slots zero)."""
     x25 = jnp.asarray(x25)

@@ -143,8 +143,12 @@ def fte(
     )
     if save:
         os.makedirs(out_dir, exist_ok=True)
+        # fte.pickle stores state columns in the reference's stripped-45
+        # order (convert_m semantics) — not the EKF pose-param order
+        to_ref = lambda a: np.asarray(cheetah.to_fte_order(a))  # noqa: E731
         states = dict(
-            x=result["x"], dx=result["dx"], ddx=result["ddx"], start_frame=start0,
+            x=to_ref(result["x"]), dx=to_ref(result["dx"]), ddx=to_ref(result["ddx"]),
+            start_frame=start0,
             cost_history=result["cost_history"], scene_fpath=scene_fpath,
             dlc_thresh=dlc_thresh,
         )
