@@ -292,36 +292,87 @@ def prepare_calib_board_data(
     fnames_arr: Sequence[List[str]],
     board_shape: Tuple[int, int],
     k_arr, d_arr, r_arr, t_arr,
+    align_tol_px: float = 30.0,
 ):
     """Build the dense (P, C) observation grid of board corners seen by
     >= 2 cameras, with 3D inits from the first two observing cameras
-    (semantics of src/calib/calib.py:210-263)."""
+    (semantics of src/calib/calib.py:210-263).
+
+    Per-frame corner-ordering flips between cameras (the detector's
+    180-degree ambiguity — the reference needed manual '_corrections'
+    files for these) are resolved automatically: each frame's anchor
+    camera defines the board's world pose via the current scene
+    estimate; every other camera's corners are kept as-is or reversed,
+    whichever reprojects closer, and dropped if neither is within
+    align_tol_px median error.
+    """
     n_cam = len(img_pts_arr)
     ppi = board_shape[0] * board_shape[1]
-    # frames seen by >= 2 cams
     all_names = sorted({f for fn in fnames_arr for f in fn})
     shared = [f for f in all_names if sum(f in fn for fn in fnames_arr) >= 2]
+
+    k_arr = [np.asarray(k) for k in k_arr]
+    d4 = [np.asarray(d).reshape(-1)[:4] for d in d_arr]
+    r_np = [np.asarray(r) for r in r_arr]
+    t_np = [np.asarray(t).reshape(3) for t in t_arr]
 
     P = len(shared) * ppi
     obs = np.zeros((P, n_cam, 2))
     mask = np.zeros((P, n_cam), dtype=bool)
     pts3d0 = np.zeros((P, 3))
+    n_flipped = n_dropped = 0
     for s, fname in enumerate(shared):
         sl = slice(s * ppi, (s + 1) * ppi)
-        seen_by = []
-        for c in range(n_cam):
-            if fname in fnames_arr[c]:
-                fi = fnames_arr[c].index(fname)
-                obs[sl, c] = np.asarray(img_pts_arr[c][fi]).reshape(ppi, 2)
-                mask[sl, c] = True
-                seen_by.append(c)
-        a, b = seen_by[0], seen_by[1]
+        seen_by = [c for c in range(n_cam) if fname in fnames_arr[c]]
+        a = seen_by[0]
+        corners_a = np.asarray(img_pts_arr[a][fnames_arr[a].index(fname)]).reshape(ppi, 2)
+        obs[sl, a] = corners_a
+        mask[sl, a] = True
+        for c in seen_by[1:]:
+            corners_c = np.asarray(
+                img_pts_arr[c][fnames_arr[c].index(fname)]
+            ).reshape(ppi, 2)
+            # score both orderings by triangulate(a, c) -> reproject-to-c error
+            best = None
+            for cand in (corners_c, corners_c[::-1]):
+                tri = np.asarray(
+                    cam_ops.triangulate_points_fisheye(
+                        corners_a, cand,
+                        k_arr[a], d4[a], r_np[a], t_np[a],
+                        k_arr[c], d4[c], r_np[c], t_np[c],
+                    )
+                )
+                pr_a = np.asarray(
+                    cam_ops.project_points_fisheye(tri, k_arr[a], d4[a], r_np[a], t_np[a])
+                )
+                err = np.median(np.linalg.norm(pr_a - corners_a, axis=1))
+                if best is None or err < best[0]:
+                    best = (err, cand)
+            err, cand = best
+            if err > align_tol_px:
+                n_dropped += 1
+                continue
+            if cand is not corners_c:
+                n_flipped += 1
+            obs[sl, c] = cand
+            mask[sl, c] = True
+        # 3D init from the first two kept cameras
+        kept = [c for c in seen_by if mask[s * ppi, c]]
+        if len(kept) < 2:
+            mask[sl, :] = False
+            continue
+        a2, b2 = kept[0], kept[1]
         pts3d0[sl] = np.asarray(
             cam_ops.triangulate_points_fisheye(
-                obs[sl, a], obs[sl, b],
-                k_arr[a], d_arr[a], r_arr[a], t_arr[a],
-                k_arr[b], d_arr[b], r_arr[b], t_arr[b],
+                obs[sl, a2], obs[sl, b2],
+                k_arr[a2], d4[a2], r_np[a2], t_np[a2],
+                k_arr[b2], d4[b2], r_np[b2], t_np[b2],
             )
+        )
+    if n_flipped or n_dropped:
+        print(
+            f"Board data prep: fixed {n_flipped} reversed corner set(s), "
+            f"dropped {n_dropped} inconsistent one(s)"
         )
     return obs, mask, pts3d0
 
