@@ -127,19 +127,18 @@ def solve_batch(
     X0_b = []
     for run in runs:
         pix, lik, cams, n0 = _pad_run(run, N, C)
-        k, d, r, t = run.cams
+        # initialize on the PADDED shapes so all runs share one compiled
+        # triangulation program (per-run shapes would recompile per N)
         X0 = initial_trajectory(
-            run.pixels, run.likelihood, k, d, r, t,
-            np.arange(run.pixels.shape[1]), dlc_thresh,
+            pix, lik, cams[0], cams[1], cams[2], cams[3],
+            np.arange(N), dlc_thresh,
         )
-        X0_full = np.concatenate(
-            [X0, np.repeat(X0[-1:], N - X0.shape[0], axis=0)], axis=0
-        )
+        X0[n0:] = X0[n0 - 1]  # hold the last valid frame through padding
         pix_b.append(pix)
         lik_b.append(lik)
         cams_b.append(cams)
         n_valid.append(n0)
-        X0_b.append(X0_full)
+        X0_b.append(X0)
 
     B = len(runs)
     meas = np.stack(pix_b).transpose(0, 2, 1, 3, 4)  # (B, N, C, L, 2)
@@ -234,10 +233,10 @@ def solve_batch_ekf(
         lik_b.append(lik.transpose(1, 0, 2))
         aux_b.append(cams)
         n_valid.append(n0)
-        k, d, r, t = run.cams
+        # initialize on the padded shapes (one shared compile across runs)
         X0 = initial_trajectory(
-            run.pixels, run.likelihood, k, d, r, t,
-            np.arange(run.pixels.shape[1]), dlc_thresh,
+            pix, lik, cams[0], cams[1], cams[2], cams[3],
+            np.arange(N), dlc_thresh,
         )
         x0 = np.zeros(3 * n_pose)
         x0[:n_pose] = X0[0]
