@@ -62,6 +62,10 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.cmd in ("dlc", "tri", "sba", "ekf", "fte", "all"):
         from .pipeline import app as app_mod
 

@@ -99,6 +99,28 @@ def _pad_run(run: RunData, N: int, C: int):
     return pix, lik, (K, D, R, T), n0
 
 
+#: in-process cache of jitted batch solvers — repeated sweep calls with
+#: the same config reuse the traced program (jit itself then caches per
+#: input shape) instead of re-tracing a fresh closure every call
+_SOLVER_CACHE: Dict = {}
+
+
+def _cached_batch_solver(cfg, dtype):
+    key = (cfg, str(dtype))
+    if key not in _SOLVER_CACHE:
+        h = _h_fn_aux(dtype)
+
+        def batched(X0, meas, w, aux, nv):
+            return jax.vmap(
+                lambda a, b, c, x, n: trajopt.fte_solve(
+                    h, a, b, c, cfg, aux=x, n_valid=n
+                )[0]
+            )(X0, meas, w, aux, nv)
+
+        _SOLVER_CACHE[key] = jax.jit(batched)
+    return _SOLVER_CACHE[key]
+
+
 def _h_fn_aux(dtype):
     def h(pose25, aux):
         K, D, R, T = aux
@@ -149,17 +171,12 @@ def solve_batch(
         w[i, n0:] = 0.0
     aux = tuple(np.stack([c[j] for c in cams_b]) for j in range(4))  # each (B, C, ...)
 
-    h = _h_fn_aux(dtype)
     mesh = mesh or mesh_lib.make_mesh(model_axis=False)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     shard = NamedSharding(mesh, P("data"))
-
-    def batched(X0, meas, w, aux, nv):
-        return jax.vmap(
-            lambda a, b, c, x, n: trajopt.fte_solve(h, a, b, c, cfg, aux=x, n_valid=n)[0]
-        )(X0, meas, w, aux, nv)
+    solver = _cached_batch_solver(cfg, dtype)
 
     # pad batch to the data-axis size
     n_dev = mesh.shape["data"]
@@ -171,7 +188,7 @@ def solve_batch(
         (ap,), _ = mesh_lib.pad_batch([a], n_dev)
         aux_p.append(jax.device_put(jnp.asarray(ap, dtype), shard))
     (nvp,), _ = mesh_lib.pad_batch([np.asarray(n_valid, np.int32)], n_dev)
-    Xb = jax.jit(batched)(
+    Xb = solver(
         jax.device_put(jnp.asarray(X0p, dtype), shard),
         jax.device_put(jnp.asarray(measp, dtype), shard),
         jax.device_put(jnp.asarray(wp, dtype), shard),
@@ -284,6 +301,9 @@ def sweep(
     each group as one sharded program per requested stage ('fte' and/or
     'ekf'), writes per-run pickles.
     """
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     run_dirs = discover_runs(root_dir)
     print(f"Found {len(run_dirs)} runs under {root_dir}")
     runs = [load_run(d, end_frame=(max_frames or -1)) for d in run_dirs]

@@ -26,6 +26,9 @@ import numpy as np
 
 
 def main():
+    from acinoset_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 
