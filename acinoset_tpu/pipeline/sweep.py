@@ -121,6 +121,16 @@ def _cached_batch_solver(cfg, dtype):
     return _SOLVER_CACHE[key]
 
 
+_FK_BATCH = None
+
+
+def _cached_fk_batch():
+    global _FK_BATCH
+    if _FK_BATCH is None:
+        _FK_BATCH = jax.jit(jax.vmap(jax.vmap(cheetah.fk25)))
+    return _FK_BATCH
+
+
 def _h_fn_aux(dtype):
     def h(pose25, aux):
         K, D, R, T = aux
@@ -195,21 +205,31 @@ def solve_batch(
         tuple(aux_p),
         jax.device_put(jnp.asarray(nvp), shard),
     )
+    # batched FK for all runs in one device program (eager per-run calls
+    # pay per-op dispatch through remote-attached accelerators)
+    positions_b = np.asarray(_cached_fk_batch()(Xb[:B0]))
     Xb = np.asarray(Xb[:B0])
 
     results = []
+    Ts = 1.0 / fps
     for i, run in enumerate(runs):
         n0 = n_valid[i]
         X = Xb[i, :n0].astype(np.float64)
-        positions = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(X)))
-        dx, ddx = trajopt.derivatives_from_trajectory(jnp.asarray(X), 1.0 / run.fps)
+        # backward-difference derivatives on host (cheap numpy)
+        dx = np.diff(X, axis=0) / Ts
+        dx = np.concatenate([dx[:1], dx], axis=0) if len(X) > 1 else np.zeros_like(X)
+        ddx = np.diff(dx, axis=0) / Ts
+        ddx = (
+            np.concatenate([ddx[1:2], ddx[1:2], ddx[1:]], axis=0)
+            if len(X) > 2 else np.zeros_like(X)
+        )
         results.append(
             dict(
                 data_dir=run.data_dir,
-                positions=positions,
+                positions=positions_b[i, :n0].astype(np.float64),
                 x=X,
-                dx=np.asarray(dx),
-                ddx=np.asarray(ddx),
+                dx=dx,
+                ddx=ddx,
                 start_frame=run.start_frame,
                 scene_fpath=run.scene_fpath,
             )

@@ -21,14 +21,30 @@ from . import app
 from . import data as data_io
 
 
+_TRI_JIT = None
+
+
 def triangulate_run(
     pixels: np.ndarray,  # (C, N, L, 2)
     valid: np.ndarray,  # (C, N, L) bool
     k_arr, d_arr, r_arr, t_arr,
 ) -> np.ndarray:
-    """(N, L, 3) pair-averaged positions; NaN where unseen."""
-    pts3d, _seen = cam_ops.triangulate_pairwise_mean(
-        jnp.asarray(pixels), jnp.asarray(valid), k_arr, d_arr, r_arr, t_arr
+    """(N, L, 3) pair-averaged positions; NaN where unseen.
+
+    jitted (cached across calls with matching shapes) — eager per-op
+    dispatch is expensive on remote-attached accelerators."""
+    global _TRI_JIT
+    if _TRI_JIT is None:
+        _TRI_JIT = jax.jit(
+            lambda p, v, k, d, r, t: cam_ops.triangulate_pairwise_mean(p, v, k, d, r, t)[0]
+        )
+    C = len(k_arr)
+    pts3d = _TRI_JIT(
+        jnp.asarray(pixels), jnp.asarray(valid),
+        jnp.asarray(np.asarray(k_arr)),
+        jnp.asarray(np.asarray(d_arr).reshape(C, -1)[:, :4]),
+        jnp.asarray(np.asarray(r_arr)),
+        jnp.asarray(np.asarray(t_arr).reshape(C, 3)),
     )
     return np.asarray(pts3d)
 
