@@ -12,6 +12,7 @@ import os
 from glob import glob
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
