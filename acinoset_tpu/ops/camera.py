@@ -39,9 +39,9 @@ def project_points_fisheye(pts, K, D, R, t, eps: float = 1e-12):
     1e-12 guard inside the radius sqrt.
     """
     pts = jnp.asarray(pts)
-    D = jnp.asarray(D).reshape(-1)[:4]
-    t = jnp.asarray(t).reshape(3)
-    cam = pts @ jnp.asarray(R).T + t  # (..., 3) camera-frame
+    D = jnp.asarray(D, pts.dtype).reshape(-1)[:4]
+    t = jnp.asarray(t, pts.dtype).reshape(3)
+    cam = pts @ jnp.asarray(R, pts.dtype).T + t  # (..., 3) camera-frame
     a = cam[..., 0] / cam[..., 2]
     b = cam[..., 1] / cam[..., 2]
     r = jnp.sqrt(a * a + b * b + eps)
@@ -63,10 +63,10 @@ def project_points_pinhole(pts, K, D, R, t):
     """
     pts = jnp.asarray(pts)
     d = jnp.zeros(8, dtype=pts.dtype).at[: jnp.asarray(D).reshape(-1).shape[0]].set(
-        jnp.asarray(D).reshape(-1)[:8]
+        jnp.asarray(D, pts.dtype).reshape(-1)[:8]
     )
-    t = jnp.asarray(t).reshape(3)
-    cam = pts @ jnp.asarray(R).T + t
+    t = jnp.asarray(t, pts.dtype).reshape(3)
+    cam = pts @ jnp.asarray(R, pts.dtype).T + t
     x = cam[..., 0] / cam[..., 2]
     y = cam[..., 1] / cam[..., 2]
     r2 = x * x + y * y
@@ -229,7 +229,7 @@ def undistort_points_pinhole(pts, K, D, num_iters: int = 20):
     """
     pts = jnp.asarray(pts)
     d = jnp.zeros(8, dtype=pts.dtype).at[: jnp.asarray(D).reshape(-1).shape[0]].set(
-        jnp.asarray(D).reshape(-1)[:8]
+        jnp.asarray(D, pts.dtype).reshape(-1)[:8]
     )
     x0 = (pts[..., 0] - K[0, 2]) / K[0, 0]
     y0 = (pts[..., 1] - K[1, 2]) / K[1, 1]
