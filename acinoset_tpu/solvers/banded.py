@@ -88,10 +88,11 @@ def block_banded_solve(L_bands: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.nd
     _, y = jax.lax.scan(fwd, (zeros, zeros, zeros), (L0, L1, L2, L3, b))
 
     # backward: L^T x = y ; x[n] needs L1[n+1], L2[n+2], L3[n+3]
+    # ([:N] guards N < bandwidth, where Lk[k:] is empty)
     pad = jnp.zeros((3, P, P), dtype=dtype)
-    L1s = jnp.concatenate([L1[1:], pad[:1]])  # L1s[n] = L1[n+1]
-    L2s = jnp.concatenate([L2[2:], pad[:2]])
-    L3s = jnp.concatenate([L3[3:], pad[:3]])
+    L1s = jnp.concatenate([L1[1:], pad[:1]])[:N]  # L1s[n] = L1[n+1]
+    L2s = jnp.concatenate([L2[2:], pad[:2]])[:N]
+    L3s = jnp.concatenate([L3[3:], pad[:3]])[:N]
 
     def bwd(carry, inp):
         x1, x2, x3 = carry  # x[n+1], x[n+2], x[n+3]
@@ -109,10 +110,9 @@ def group_bands_tridiagonal(bands: Sequence[jnp.ndarray], group: int = 3):
     form with (group*P x group*P) super-blocks.
 
     Grouping `group` consecutive frames per super-block turns the
-    7-small-op scan step into one Cholesky + one triangular solve on
-    3x-larger blocks and cuts the sequential scan length by `group` —
-    the banded solve is launch-latency-bound on TPU, so this is a ~2-3x
-    wall-clock win at identical math.
+    7-small-op scan step into one factor + one solve on 3x-larger
+    blocks and cuts the sequential scan length by `group` — the banded
+    solve is scan-latency-bound on TPU.
 
     Returns (diag (M, G, G), lower (M, G, G), M, pad) where G = group*P
     and `pad` frames of identity were appended to make N divisible.
@@ -131,9 +131,6 @@ def group_bands_tridiagonal(bands: Sequence[jnp.ndarray], group: int = 3):
         A1 = jnp.concatenate([A1, z])
         A2 = jnp.concatenate([A2, z])
         A3 = jnp.concatenate([A3, z])
-
-    def blk(i):  # frame-level block (row i, col j) of the symmetric matrix
-        return None
 
     # indices of frames per super-block m: 3m, 3m+1, 3m+2
     i0 = jnp.arange(M) * 3
@@ -168,64 +165,52 @@ def _T(x):
     return jnp.swapaxes(x, -1, -2)
 
 
-def block_tridiag_cholesky(diag: jnp.ndarray, lower: jnp.ndarray):
-    """Cholesky of a symmetric block-tridiagonal matrix.
-
-    diag: (M, G, G) diagonal blocks; lower: (M, G, G) with lower[m] the
-    block (m, m-1) (lower[0] ignored). Returns (L_diag, L_off).
-    """
-    M, G, _ = diag.shape
-    dtype = diag.dtype
-    eye = jnp.eye(G, dtype=dtype)
-
-    def step(L_prev, inp):
-        d, l = inp
-        Loff = _tri_solve_right(L_prev, l)
-        S = d - Loff @ Loff.T
-        L0 = jnp.linalg.cholesky(S)
-        return L0, (L0, Loff)
-
-    _, (L_diag, L_off) = jax.lax.scan(step, eye, (diag, lower))
-    return L_diag, L_off
-
-
-def block_tridiag_solve(L_diag: jnp.ndarray, L_off: jnp.ndarray, b: jnp.ndarray):
-    """Solve A x = b given the block-tridiagonal Cholesky factors.
-    b: (M, G)."""
-    M, G = b.shape
-    dtype = b.dtype
-    zeros = jnp.zeros(G, dtype=dtype)
-
-    def fwd(y_prev, inp):
-        L0, Loff, bn = inp
-        y = jax.scipy.linalg.solve_triangular(L0, bn - Loff @ y_prev, lower=True)
-        return y, y
-
-    _, y = jax.lax.scan(fwd, zeros, (L_diag, L_off, b))
-
-    Loff_next = jnp.concatenate([L_off[1:], jnp.zeros((1, G, G), dtype)])
-
-    def bwd(x_next, inp):
-        L0, Ln1, yn = inp
-        x = jax.scipy.linalg.solve_triangular(
-            L0, yn - Ln1.T @ x_next, lower=True, trans=1
-        )
-        return x, x
-
-    _, x = jax.lax.scan(bwd, zeros, (L_diag, Loff_next, y), reverse=True)
-    return x
-
-
 @f32_matmuls
 def banded_solve_grouped(bands: Sequence[jnp.ndarray], g: jnp.ndarray):
-    """Factor + solve the bandwidth-3 system via 3-frame grouping.
-    bands as in block_banded_cholesky; g: (N, P). Returns x (N, P)."""
+    """Factor + solve the bandwidth-3 system via 3-frame grouping into a
+    block-tridiagonal system with 3P x 3P super-blocks.
+
+    Same math as `block_banded_solve_unrolled`, but the sequential scan
+    is N/3 steps of one big factor+solve instead of N steps of small
+    ones (the solve is scan-latency-bound on TPU). Uses the same
+    unrolled small-matrix Cholesky-inverse — matmul/elementwise only,
+    no native cholesky/triangular kernels. bands as in
+    block_banded_cholesky; g: (N, P). Returns x (N, P).
+    """
     N, P = g.shape
     diag, lower, M, pad = group_bands_tridiagonal(bands)
     if pad:
         g = jnp.concatenate([g, jnp.zeros((pad, P), g.dtype)])
-    L_diag, L_off = block_tridiag_cholesky(diag, lower)
-    x = block_tridiag_solve(L_diag, L_off, g.reshape(M, 3 * P))
+    b = g.reshape(M, 3 * P)
+    G = 3 * P
+    dtype = diag.dtype
+    eye = jnp.eye(G, dtype=dtype)
+    zv = jnp.zeros((G,), dtype)
+
+    def factor_step(Li_prev, inp):
+        d, l = inp
+        Loff = l @ Li_prev.T  # = l @ L_prev^{-T}
+        S = d - Loff @ Loff.T
+        _L0, Li = _chol_inv_unrolled(S)
+        return Li, (Li, Loff)
+
+    _, (Li, Loff) = jax.lax.scan(factor_step, eye, (diag, lower))
+
+    def fwd(y_prev, inp):
+        Lin, ln, bn = inp
+        y = Lin @ (bn - ln @ y_prev)
+        return y, y
+
+    _, y = jax.lax.scan(fwd, zv, (Li, Loff, b))
+
+    Loff_next = jnp.concatenate([Loff[1:], jnp.zeros((1, G, G), dtype)])
+
+    def bwd(x_next, inp):
+        Lin, ln1, yn = inp
+        x = Lin.T @ (yn - ln1.T @ x_next)
+        return x, x
+
+    _, x = jax.lax.scan(bwd, zv, (Li, Loff_next, y), reverse=True)
     return x.reshape(-1, P)[:N]
 
 
@@ -300,9 +285,9 @@ def block_banded_solve_unrolled(bands: Sequence[jnp.ndarray], b: jnp.ndarray) ->
     _, y = jax.lax.scan(fwd, (zv, zv, zv), (Li0, L1, L2, L3, b))
 
     pad = jnp.zeros((3, P, P), dtype)
-    L1s = jnp.concatenate([L1[1:], pad[:1]])
-    L2s = jnp.concatenate([L2[2:], pad[:2]])
-    L3s = jnp.concatenate([L3[3:], pad[:3]])
+    L1s = jnp.concatenate([L1[1:], pad[:1]])[:N]
+    L2s = jnp.concatenate([L2[2:], pad[:2]])[:N]
+    L3s = jnp.concatenate([L3[3:], pad[:3]])[:N]
 
     def bwd(carry, inp):
         x1, x2, x3 = carry

@@ -43,6 +43,7 @@ import numpy as np
 from ..ops import losses
 from .banded import (
     banded_cg_solve,
+    banded_solve_grouped,
     block_banded_cholesky,
     block_banded_solve,
     block_banded_solve_unrolled,
@@ -64,8 +65,9 @@ class FteConfig:
     plain_iters: int = 15  # iterations before redescending weights switch on
     #: linear-system backend: 'chol_unrolled' (default — banded Cholesky
     #: with trace-time-unrolled small-matrix factor/inverse; 4.5x faster
-    #: than native TPU cholesky/triangular kernels), 'chol' (native
-    #: kernels), or 'cg' (matmul-only truncated-Newton CG)
+    #: than native TPU cholesky/triangular kernels), 'grouped' (3-frame
+    #: block-tridiagonal regrouping, N/3 scan steps of 3Px3P blocks),
+    #: 'chol' (native kernels), or 'cg' (matmul-only truncated-Newton CG)
     linear_solver: str = "chol_unrolled"
     cg_iters: int = 50
     limit_penalty: float = 1e4
@@ -190,7 +192,6 @@ def fte_solve(
     w = jnp.where(jnp.isfinite(w_meas), w_meas, 0.0)
 
     h_flat = lambda x: h_fn(x).reshape(-1)  # (m,)
-    h_batch = jax.vmap(h_flat)
     if hj_fn is None:
         _jac = jax.jacfwd(h_flat)
         hj_batch = jax.vmap(lambda x: (h_flat(x), _jac(x)))
@@ -214,21 +215,24 @@ def fte_solve(
             return losses.huber_weight(e, a)
         return jnp.ones_like(e)
 
-    def objective(X):
+    def objective_from_h(X, hX):
+        """Reference objective at X given hX = h_batch(X) (one FK pass
+        per GN iteration: the candidate's measurement evaluation is
+        reused as next iteration's linearization point)."""
         d3 = third_difference(X, cfg.Ts) * row_mask[:, None]
         model_term = jnp.sum((1.0 / q) * d3 * d3)
-        e = w_flat_all * (h_batch(X) - meas_flat)
+        e = w_flat_all * (hX - meas_flat)
         meas_term = jnp.sum(meas_rho(e))
         # limit penalty (exterior): contributes 0 when feasible
         viol = jnp.maximum(lo - X, 0.0) + jnp.maximum(X - hi, 0.0)
         return model_term + meas_term + cfg.limit_penalty * jnp.sum(viol**2)
 
     def gn_step(carry, it):
-        X, lam, cost = carry
+        X, hX, JX, lam, cost = carry
         robust_on = it >= cfg.plain_iters
 
-        # ---- measurement GN pieces, frame-local
-        hX, JX = hj_batch(X)  # (N, m), (N, m, P)
+        # ---- measurement GN pieces, frame-local (hX, JX carried from
+        # the previous iteration's candidate evaluation)
         e = w_flat_all * (hX - meas_flat)  # (N, m) scaled residuals
         w_irls = jnp.where(robust_on, meas_irls(e), 1.0)
         J = JX * w_flat_all[..., None]  # d e / d x  (N, m, P)
@@ -282,20 +286,28 @@ def fte_solve(
         elif cfg.linear_solver == "chol":
             L = block_banded_cholesky(bands)
             dX = block_banded_solve(L, -g * s) * s
+        elif cfg.linear_solver == "grouped":
+            dX = banded_solve_grouped(bands, -g * s) * s
         else:
             dX = block_banded_solve_unrolled(bands, -g * s) * s
 
         X_new = X + dX
-        new_cost = objective(X_new)
+        h_new, J_new = hj_batch(X_new)  # the iteration's ONE measurement pass
+        new_cost = objective_from_h(X_new, h_new)
         ok = (new_cost < cost) & jnp.all(jnp.isfinite(dX))
         X = jnp.where(ok, X_new, X)
+        hX = jnp.where(ok, h_new, hX)
+        JX = jnp.where(ok, J_new, JX)
         cost = jnp.where(ok, new_cost, cost)
         lam = jnp.clip(jnp.where(ok, lam * cfg.lam_down, lam * cfg.lam_up), 1e-10, 1e10)
-        return (X, lam, cost), cost
+        return (X, hX, JX, lam, cost), cost
 
-    cost0 = objective(X0)
-    (X, lam, cost), cost_hist = jax.lax.scan(
-        gn_step, (X0, jnp.asarray(cfg.lam0, dtype), cost0), jnp.arange(cfg.num_iters)
+    h0, J0 = hj_batch(X0)
+    cost0 = objective_from_h(X0, h0)
+    (X, _, _, lam, cost), cost_hist = jax.lax.scan(
+        gn_step,
+        (X0, h0, J0, jnp.asarray(cfg.lam0, dtype), cost0),
+        jnp.arange(cfg.num_iters),
     )
     X = jnp.clip(X, lo, hi)
     # solver-status surfacing (the reference only streamed IPOPT's log,

@@ -69,3 +69,17 @@ def test_banded_unrolled_matches_dense(rng):
         np.testing.assert_allclose(
             x, np.linalg.solve(A, b.reshape(-1)).reshape(N, P), atol=1e-9
         )
+
+
+def test_banded_grouped_matches_dense_and_unrolled(rng):
+    """3-frame grouped block-tridiagonal solve == dense solve == unrolled
+    solve, including N not divisible by 3 (padding path) and N < group."""
+    for N, P in [(12, 5), (13, 5), (14, 5), (30, 25), (2, 3)]:
+        A, bands = make_spd_banded(rng, N, P)
+        b = rng.normal(size=(N, P))
+        jb = [jnp.asarray(B) for B in bands]
+        x_g = np.asarray(banded.banded_solve_grouped(jb, jnp.asarray(b)))
+        x_ref = np.linalg.solve(A, b.reshape(-1)).reshape(N, P)
+        np.testing.assert_allclose(x_g, x_ref, atol=1e-9)
+        x_u = np.asarray(banded.block_banded_solve_unrolled(jb, jnp.asarray(b)))
+        np.testing.assert_allclose(x_g, x_u, atol=1e-9)

@@ -100,6 +100,39 @@ def test_fte_vmappable(synth):
     np.testing.assert_allclose(np.asarray(Xb[0]), np.asarray(Xb[2]), atol=1e-10)
 
 
+def test_fte_linear_solver_variants_agree(synth):
+    """'grouped' and 'cg' linear solvers reach the same trajectory as the
+    default 'chol_unrolled' (identical math, different factorizations)."""
+    from dataclasses import replace
+
+    from acinoset_tpu.pipeline.fte import initial_trajectory
+
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    cfg = default_config(90.0, num_iters=8)
+    h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
+    N = pixels.shape[1]
+    X0 = jnp.asarray(
+        initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr,
+                           np.arange(N), 0.5)
+    )
+    meas = jnp.asarray(pixels.transpose(1, 0, 2, 3))
+    w = jnp.asarray((likelihood.transpose(1, 0, 2) > 0.5) / cfg.meas_std_px)
+
+    X_ref, info_ref = trajopt.fte_solve(h, X0, meas, w, cfg)
+    X_grp, info_grp = trajopt.fte_solve(
+        h, X0, meas, w, replace(cfg, linear_solver="grouped")
+    )
+    np.testing.assert_allclose(np.asarray(X_grp), np.asarray(X_ref), atol=1e-6)
+    np.testing.assert_allclose(
+        float(info_grp["cost"]), float(info_ref["cost"]), rtol=1e-8
+    )
+    X_cg, info_cg = trajopt.fte_solve(h, X0, meas, w, replace(cfg, linear_solver="cg"))
+    # truncated CG is inexact-Newton: iterates differ, but it must make
+    # comparable progress on the same objective
+    assert float(info_cg["cost"]) < float(info_ref["cost"]) * 1.2 + 1e-6
+
+
 def test_hj_fn_matches_jacfwd(synth):
     """The chain-rule (h, J) hook equals jacfwd of the composition."""
     import jax as J

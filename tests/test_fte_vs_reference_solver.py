@@ -64,10 +64,12 @@ def test_banded_gn_matches_lbfgsb_optimum():
     # our solver within 2% of (or better than) the independent optimum
     assert cost_gn <= cost_ref * 1.02, (cost_gn, cost_ref)
 
-    # and marker accuracy comparable to the reference solver's
+    # and marker accuracy at least as good as the reference solver's
+    # (measured: err_gn ~ 0.011 m vs err_ref ~ 0.138 m — GN reaches a
+    # much deeper optimum; the bound leaves 5% + 2 mm slack only)
     X_ref = out.x.reshape(N, P)
     mk_gn = np.asarray(jax.vmap(cheetah.fk25)(X_gn))
     mk_ref = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(X_ref)))
     err_gn = np.nanmean(np.linalg.norm(mk_gn - pts3d, axis=-1))
     err_ref = np.nanmean(np.linalg.norm(mk_ref - pts3d, axis=-1))
-    assert err_gn <= err_ref * 1.5 + 0.005, (err_gn, err_ref)
+    assert err_gn <= err_ref * 1.05 + 0.002, (err_gn, err_ref)
