@@ -19,12 +19,22 @@ Semantics notes (kept faithful to src/build.py):
   * pose vector layout [x, y, z, phi_0..L-1, theta_0..L-1, psi_0..L-1]
     with angle index = part's insertion position in the dofs dict.
 
-One deliberate divergence: the returned FK orders rows by the
-``markers`` list (falling back to part order) so that marker
-measurements and FK rows correspond by name. The reference indexes
-pos_funcs by pose-dict order while indexing measurements by the markers
-list (src/build.py:113-129 vs :232), silently mismatching the two when
-the orders differ; we do not reproduce that.
+One deliberate divergence in the default mode (``compat="tpu"``): the
+returned FK orders rows by the ``markers`` list (falling back to part
+order) so that marker measurements and FK rows correspond by name, and
+offsets rotate by the parent's *cumulative inverse* rotation. The
+reference instead (a) indexes pos_funcs by pose-dict insertion order
+while indexing measurements by the markers list (src/build.py:113-129
+vs :232), silently mismatching the two when the orders differ, and
+(b) rotates each link offset by a flip-flopped ``rot_dict[part+"_i"]``
+entry that holds the part's *local* rotation (or its transpose,
+depending on how many times the part appeared as a link child —
+src/build.py:61,78-80), not the cumulative inverse.
+
+``compat="reference"`` replicates those semantics exactly: verified to
+reproduce the shipped fixture data/results/traj_results.pickle
+(positions == FK(x)) to ~1e-15 (tests/test_generic_fte.py). Use it for
+regression against reference outputs; use the default for new work.
 """
 from __future__ import annotations
 
@@ -54,8 +64,19 @@ class SkeletonModel:
         return len(self.markers)
 
 
-def build_skeleton_model(skel_dict: Dict, promote_markers_to_3dof: bool = True) -> SkeletonModel:
-    """Compile a skeleton dict into a SkeletonModel."""
+def build_skeleton_model(
+    skel_dict: Dict,
+    promote_markers_to_3dof: bool = True,
+    compat: str = "tpu",
+) -> SkeletonModel:
+    """Compile a skeleton dict into a SkeletonModel.
+
+    compat="tpu" (default): by-name marker/FK association, cumulative
+    inverse offset rotation. compat="reference": bit-faithful twin of
+    src/build.py:28-95 (see module docstring).
+    """
+    if compat not in ("tpu", "reference"):
+        raise ValueError(f"unknown compat mode {compat!r}")
     links = [list(l) for l in skel_dict["links"]]
     positions = {k: np.asarray(v, dtype=np.float64) for k, v in skel_dict["positions"].items()}
     dofs = {k: list(v) for k, v in skel_dict["dofs"].items()}
@@ -70,15 +91,18 @@ def build_skeleton_model(skel_dict: Dict, promote_markers_to_3dof: bool = True) 
     L = len(parts)
     n_pose = 3 + 3 * L
 
-    # Determine FK row order: markers list if present, else link-walk order
-    if markers:
-        row_order = markers
+    # pose-dict insertion order (the reference's FK row order)
+    walk_order: List[str] = []
+    for link in links:
+        for p in link:
+            if p not in walk_order:
+                walk_order.append(p)
+
+    # FK row order: by-name in tpu mode, pose-dict order in reference mode
+    if compat == "reference" or not markers:
+        row_order = walk_order
     else:
-        row_order = []
-        for link in links:
-            for p in link:
-                if p not in row_order:
-                    row_order.append(p)
+        row_order = markers
 
     def fk(x):
         x = jnp.asarray(x)
@@ -88,6 +112,7 @@ def build_skeleton_model(skel_dict: Dict, promote_markers_to_3dof: bool = True) 
         psi = x[3 + 2 * L :]
 
         rot: Dict[str, jnp.ndarray] = {}
+        rot_i: Dict[str, jnp.ndarray] = {}
         for p in parts:
             i = part_idx[p]
             R = jnp.eye(3, dtype=x.dtype)
@@ -99,6 +124,7 @@ def build_skeleton_model(skel_dict: Dict, promote_markers_to_3dof: bool = True) 
             if hz:
                 R = rot_z(psi[i]) @ R
             rot[p] = R
+            rot_i[p] = R.T
 
         pose: Dict[str, jnp.ndarray] = {}
         for link in links:
@@ -111,7 +137,15 @@ def build_skeleton_model(skel_dict: Dict, promote_markers_to_3dof: bool = True) 
             offset = jnp.asarray(positions[b] - positions[a], dtype=x.dtype)
             parent_acc = rot[a]
             rot[b] = rot[b] @ parent_acc
-            pose[b] = pose[a] + parent_acc.T @ offset
+            if compat == "reference":
+                # src/build.py:78-80: the "_i" entry flip-flops between the
+                # part's local rotation and its transpose each time the part
+                # appears as a link child; offsets rotate by the parent's
+                # "_i" entry as-is (NOT the cumulative inverse).
+                rot_i[b] = rot_i[b].T
+                pose[b] = pose[a] + rot_i[a] @ offset
+            else:
+                pose[b] = pose[a] + parent_acc.T @ offset
 
         rows = []
         for name in row_order:
@@ -131,11 +165,16 @@ def build_skeleton_model(skel_dict: Dict, promote_markers_to_3dof: bool = True) 
         if hz:
             active.append(3 + 2 * L + i)
 
+    # measurement labels: the markers list (data-loading order). In
+    # reference-compat mode FK rows are in pose-dict order while the
+    # measurements stay in markers-list order — positional association
+    # between the two reproduces the reference's index mismatch
+    # (src/build.py:113-129 vs :232).
     return SkeletonModel(
         fk=fk,
         n_pose=n_pose,
         parts=parts,
-        markers=row_order,
+        markers=(markers if markers else row_order),
         dofs=dofs,
         active_idx=np.asarray(sorted(active)),
     )

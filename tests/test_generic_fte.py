@@ -1,10 +1,32 @@
-"""Generic-skeleton FTE on the real shipped human data (build.py path)."""
+"""Generic-skeleton FTE on the real shipped human data (build.py path).
+
+The snapshot's only real ground-truth FTE outputs are
+data/results/traj_results.pickle (100 frames) and
+data/old_results/run1.pickle (50 frames). They anchor two regressions:
+
+1. FK parity at machine precision: the reference saved positions ==
+   pose_to_3d(x) (build.py:344-378); our compat="reference" FK must
+   reproduce positions from the fixture's own x to ~1e-12. This pins
+   the full kinematic chain (rotation conventions, dofs promotion,
+   pose-dict row order, the flip-flopped "_i" offset rotation) against
+   real reference output.
+
+2. Objective-level solver regression: the fixture is IPOPT's output at
+   tol=1e-1 with an L-BFGS Hessian on a nonsmooth L1 objective — it is
+   NOT a tight optimum (warm-starting our solver from it lowers its own
+   objective, and it reprojects at ~68 px median). Matching its
+   trajectory to centimeters is therefore not meaningful; instead we
+   assert our cold-start solve reaches a STRICTLY LOWER value of the
+   exact reference objective (L1 measurement + 0.002*slack_model^2,
+   build.py:288-301) — measured margin ~6% (50470 vs 53931).
+"""
 import os
 from glob import glob
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from acinoset_tpu.models.skeleton import build_skeleton_model
 from acinoset_tpu.pipeline import data, generic
@@ -12,24 +34,100 @@ from acinoset_tpu.pipeline import data, generic
 REF = "/root/reference"
 
 
-def test_generic_fte_on_real_human_data():
+@pytest.fixture(scope="module")
+def human_setup():
     skel = data.load_skeleton(f"{REF}/skeletons/new_human.pickle")
-    model = build_skeleton_model(skel)
     k, d, r, t, _res = data.load_scene(f"{REF}/data/4_cam_scene_static_sba.json")
     fpaths = sorted(glob(f"{REF}/data/*.h5"))
+    return skel, k, d.reshape(-1, 4), r, t, fpaths
+
+
+def test_reference_fk_parity_on_shipped_fixtures(human_setup):
+    """compat='reference' FK reproduces positions == FK(x) on BOTH
+    shipped result pickles at machine precision."""
+    skel = human_setup[0]
+    model = build_skeleton_model(skel, compat="reference")
+    assert model.n_pose == 48  # 3 + 3*15: the fixture (100, 48) layout
+    # run1.pickle is an older run whose positions match FK(x) only to
+    # ~0.3 mm (saved from a lower-precision pipeline); still a real
+    # anchor — any semantic drift shows up at 0.1 m scale, not mm.
+    for path, tol in (
+        ("data/results/traj_results.pickle", 1e-9),
+        ("data/old_results/run1.pickle", 1e-3),
+    ):
+        fix = data.load_pickle(f"{REF}/{path}")
+        assert fix["x"].shape[1] == 48
+        pos_fk = np.asarray(jax.vmap(model.fk)(jnp.asarray(fix["x"])))
+        err = np.linalg.norm(pos_fk - fix["positions"], axis=-1)
+        assert err.max() < tol, (path, err.max())
+
+
+def test_reference_fk_row_order_is_posedict_order(human_setup):
+    """The fixture's position rows follow pose-dict insertion order, NOT
+    the markers list — comparing in markers order must be far off
+    (guards against silently 'fixing' the compat row order)."""
+    skel = human_setup[0]
+    model_tpu = build_skeleton_model(skel)  # rows in markers order
+    fix = data.load_pickle(f"{REF}/data/results/traj_results.pickle")
+    pos_fk = np.asarray(jax.vmap(model_tpu.fk)(jnp.asarray(fix["x"])))
+    err = np.linalg.norm(pos_fk - fix["positions"], axis=-1)
+    assert np.median(err) > 0.1  # markers-order comparison is meaningless
+
+
+def _reference_objective(x, h, w, meas, fps=120.0, model_weight=0.002):
+    """The exact build.py:288-301 objective: sum |w*slack_meas| +
+    sum model_weight*slack_model^2 (slack_model = third difference/h^2)."""
+    proj = np.asarray(jax.vmap(h)(jnp.asarray(x)))
+    meas_term = np.sum(np.abs(w[..., None] * (proj - meas)))
+    hh = 1.0 / fps
+    d3 = (x[3:] - 3 * x[2:-1] + 3 * x[1:-2] - x[:-3]) / hh**2
+    return meas_term + model_weight * np.sum(d3 * d3)
+
+
+def test_generic_fte_beats_ipopt_fixture_on_reference_objective(human_setup):
+    skel, k, d, r, t, fpaths = human_setup
+    model = build_skeleton_model(skel, compat="reference")
     p2d = data.load_dlc_points(fpaths, markers=model.markers)
-    win = p2d.window(60, 160)  # the reference build.py window (start 60, N=100)
+    win = p2d.window(60, 160)  # build.py window: start 60, N=100
+    fix = data.load_pickle(f"{REF}/data/results/traj_results.pickle")
+
+    res = generic.fte_generic_run(
+        skel, win.pixels, win.likelihood, k, d, r, t,
+        fps=120.0, dlc_thresh=0.4, num_iters=150, compat="reference",
+        huber_delta=0.3,
+    )
+    assert res["x"].shape == (100, 48)
+    assert res["positions"].shape == (100, 15, 3)
+
+    h = generic.make_h_fn_generic(model, k, d, r, t)
+    meas = np.nan_to_num(win.pixels.transpose(1, 0, 2, 3))
+    lik = np.nan_to_num(win.likelihood.transpose(1, 0, 2), nan=-1)
+    w = (lik > 0.4) / 3.0  # R=3, thresh 0.4 (build.py:142,182-185)
+    w[:, :, model.markers.index("neck")] = 0.0
+
+    ours = _reference_objective(res["x"], h, w, meas)
+    theirs = _reference_objective(fix["x"], h, w, meas)
+    assert ours < theirs, (ours, theirs)  # measured: ~50470 vs ~53931
+
+
+def test_generic_fte_on_real_human_data(human_setup):
+    """Default (by-name association) mode: quality assertions on the
+    same data — this is the mode new users should run."""
+    skel, k, d, r, t, fpaths = human_setup
+    model = build_skeleton_model(skel)
+    p2d = data.load_dlc_points(fpaths, markers=model.markers)
+    win = p2d.window(60, 160)
 
     result = generic.fte_generic_run(
-        skel, win.pixels, win.likelihood, k, d.reshape(-1, 4), r, t,
+        skel, win.pixels, win.likelihood, k, d, r, t,
         fps=120.0, dlc_thresh=0.4, num_iters=40,
     )
-    assert result["x"].shape == (100, 48)  # matches the fixture layout
+    assert result["x"].shape == (100, 48)
     assert result["positions"].shape == (100, 15, 3)
     assert result["cost"] < result["cost0"] * 0.05
 
     # reprojection error on trusted measurements at the few-px level
-    h = generic.make_h_fn_generic(model, k, d.reshape(-1, 4), r, t)
+    h = generic.make_h_fn_generic(model, k, d, r, t)
     proj = np.asarray(jax.vmap(h)(jnp.asarray(result["x"])))
     meas = win.pixels.transpose(1, 0, 2, 3)
     lik = np.nan_to_num(win.likelihood.transpose(1, 0, 2), nan=-1)
@@ -37,9 +135,3 @@ def test_generic_fte_on_real_human_data():
     trusted[:, :, model.markers.index("neck")] = False
     err = np.linalg.norm(proj - meas, axis=-1)[trusted]
     assert np.median(err) < 4.0, np.median(err)
-
-    # skeleton stays in the capture volume the fixture occupies
-    fix = data.load_pickle(f"{REF}/data/results/traj_results.pickle")
-    assert np.linalg.norm(
-        np.nanmean(result["positions"], axis=(0, 1)) - np.nanmean(fix["positions"], axis=(0, 1))
-    ) < 1.0
