@@ -25,14 +25,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    n_devices: Optional[int] = None, model_axis: bool = True, devices=None
+    n_devices: Optional[int] = None,
+    model_axis: bool = True,
+    devices=None,
+    model_size: Optional[int] = None,
 ) -> Mesh:
     """Build a mesh over the first n_devices devices.
 
     Uses a 2-D (data, model) layout when n_devices is even and
-    model_axis is requested, else a 1-D (data,) mesh. If the default
-    platform has fewer than n_devices devices, falls back to the CPU
-    backend (virtual host devices for dry runs).
+    model_axis is requested, else a 1-D (data,) mesh. ``model_size``
+    pins the model-axis extent explicitly (must divide n_devices);
+    default 2. If the default platform has fewer than n_devices
+    devices, falls back to the CPU backend (virtual host devices for
+    dry runs).
     """
     devs = devices if devices is not None else jax.devices()
     if n_devices is not None and len(devs) < n_devices:
@@ -41,7 +46,14 @@ def make_mesh(
     if n_devices is not None and len(devs) < n_devices:
         raise ValueError(f"need {n_devices} devices, have {len(devs)}")
     n = len(devs)
-    if model_axis and n % 2 == 0 and n > 1:
+    if model_size is not None and model_size > 1:
+        if not model_axis:
+            raise ValueError("model_size given but model_axis=False")
+        if n % model_size:
+            raise ValueError(f"model_size {model_size} does not divide {n} devices")
+        arr = np.array(devs).reshape(n // model_size, model_size)
+        return Mesh(arr, axis_names=("data", "model"))
+    if model_axis and model_size != 1 and n % 2 == 0 and n > 1:
         arr = np.array(devs).reshape(n // 2, 2)
         return Mesh(arr, axis_names=("data", "model"))
     return Mesh(np.array(devs), axis_names=("data",))

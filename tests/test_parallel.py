@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from acinoset_tpu.parallel import mesh as mesh_lib
 
@@ -11,28 +12,46 @@ def test_mesh_shapes():
     assert dict(m2.shape) == {"data": 4, "model": 2}
     m1 = mesh_lib.make_mesh(5)
     assert dict(m1.shape) == {"data": 5}
+    m4 = mesh_lib.make_mesh(8, model_size=4)
+    assert dict(m4.shape) == {"data": 2, "model": 4}
+    m1b = mesh_lib.make_mesh(8, model_size=1)
+    assert dict(m1b.shape) == {"data": 8}
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(8, model_size=3)
 
 
-def test_sharded_fte_matches_single_device():
+def _fte_problem(n_cams=4, N=24):
     import sys, os
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import synthetic
     from acinoset_tpu.pipeline.ekf import make_h_fn
     from acinoset_tpu.pipeline.fte import default_config, initial_trajectory
-    from acinoset_tpu.solvers.trajopt import fte_solve
 
-    cams = synthetic.ring_cameras(n_cams=4)
-    X = synthetic.cheetah_gallop(N=24, fps=90.0)
+    cams = synthetic.ring_cameras(n_cams=n_cams)
+    X = synthetic.cheetah_gallop(N=N, fps=90.0)
     pixels, likelihood, _ = synthetic.render_measurements(X, cams, noise_px=1.0, seed=5)
     k_arr, d_arr, r_arr, t_arr, res = cams
 
     cfg = default_config(90.0, num_iters=6)
     h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
     X0 = initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr,
-                            np.arange(24), 0.5)
+                            np.arange(N), 0.5)
     meas = pixels.transpose(1, 0, 2, 3)
     w = (likelihood.transpose(1, 0, 2) > 0.5) / cfg.meas_std_px
+    return cfg, h, X0, meas, w
+
+
+@pytest.mark.parametrize("model_size", [1, 2, 4])
+def test_sharded_fte_matches_single_device(model_size):
+    """Every mesh layout (8,1), (4,2), (2,4) reproduces the single-device
+    solve; with model>1 the compiled program must contain an all-reduce
+    over the camera-sharded measurement reduction (no silent
+    full replication)."""
+    from acinoset_tpu.solvers.trajopt import fte_solve
+
+    cfg, h, X0, meas, w = _fte_problem(n_cams=4)
+    N = X0.shape[0]
 
     B = 8
     X0b = jnp.asarray(np.stack([X0] * B))
@@ -42,15 +61,23 @@ def test_sharded_fte_matches_single_device():
     # single-device result
     X_single, _ = fte_solve(h, jnp.asarray(X0), jnp.asarray(meas), jnp.asarray(w), cfg)
 
-    mesh = mesh_lib.make_mesh(8)
+    mesh = mesh_lib.make_mesh(8, model_size=model_size)
     X0s, meass, ws = mesh_lib.shard_batch(mesh, X0b, measb, wb)
     solver = mesh_lib.sharded_fte_solver(mesh, h, cfg)
     with mesh:
+        compiled = solver.lower(X0s, meass, ws).compile()
+        hlo = compiled.as_text()
         Xb = solver(X0s, meass, ws)
         Xb.block_until_ready()
-    assert Xb.shape == (B, 24, 25)
+    assert Xb.shape == (B, N, 25)
     np.testing.assert_allclose(np.asarray(Xb[0]), np.asarray(X_single), atol=1e-8)
     np.testing.assert_allclose(np.asarray(Xb[5]), np.asarray(X_single), atol=1e-8)
+    if model_size > 1:
+        # the camera-sharded measurement reduction must psum partial
+        # H = sum_c J_c^T W J_c (measured: 14 all-reduces at model=2/4,
+        # zero all-gathers — i.e. no silent full replication)
+        assert "all-reduce" in hlo, "camera axis sharded but no all-reduce in HLO"
+        assert "all-gather" not in hlo, "input gathered — camera work replicated"
 
 
 def test_pad_batch():
