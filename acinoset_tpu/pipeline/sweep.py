@@ -41,6 +41,7 @@ class RunData:
     fps: float
     start_frame: int
     scene_fpath: str
+    cam_res: Tuple[int, int] = (2704, 1520)  # per-run sensor resolution
 
 
 def discover_runs(root_dir: str) -> List[str]:
@@ -79,6 +80,7 @@ def load_run(
         fps=float(fps),
         start_frame=start0,
         scene_fpath=scene_fpath,
+        cam_res=tuple(int(v) for v in cam_res),
     )
 
 
@@ -251,10 +253,13 @@ def solve_batch_ekf(
     C = max(r.pixels.shape[0] for r in runs)
     n_pose = cheetah.N_ACTIVE
 
+    # untrusted-measurement sigma = each run's own camera width
+    # (src/all_optimizations.py:610) — rides along as a vmapped operand
+    # so mixed-resolution runs batch correctly
     cfg = ekf_solver.EkfConfig(
-        dt=1.0 / fps, dlc_thresh=dlc_thresh,
-        meas_std_px=cheetah.MEAS_STD_PX, max_pixel_err=2704.0,
+        dt=1.0 / fps, dlc_thresh=dlc_thresh, meas_std_px=cheetah.MEAS_STD_PX,
     )
+    mpe = np.asarray([float(r.cam_res[0]) for r in runs])
     # shared initial covariance (pipeline/ekf constants)
     p_ang = np.ones(n_pose - 3)
     P0 = np.diag(np.concatenate([
@@ -284,10 +289,13 @@ def solve_batch_ekf(
     aux = tuple(np.stack([c[j] for c in aux_b]) for j in range(4))
     h_aux = _h_fn_aux(dtype)
 
-    def one(pix, lik, x0, auxi):
+    from dataclasses import replace as dc_replace
+
+    def one(pix, lik, x0, auxi, mpe_i):
         return ekf_solver.run_ekf(
             lambda p: h_aux(p, auxi), pix, lik,
-            x0, jnp.asarray(P0, dtype), cheetah.EKF_QB, cfg,
+            x0, jnp.asarray(P0, dtype), cheetah.EKF_QB,
+            dc_replace(cfg, max_pixel_err=mpe_i),
         )
 
     out = jax.jit(jax.vmap(one))(
@@ -295,6 +303,7 @@ def solve_batch_ekf(
         jnp.asarray(np.stack(lik_b), dtype),
         jnp.asarray(np.stack(x0_b), dtype),
         tuple(jnp.asarray(a, dtype) for a in aux),
+        jnp.asarray(mpe, dtype),
     )
     results = []
     for i, run in enumerate(runs):
@@ -304,7 +313,8 @@ def solve_batch_ekf(
         x_s = np.asarray(out["smoothed_x"][i][:n0], np.float64)
         positions = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(x_s)))
         results.append(dict(data_dir=run.data_dir, positions=positions, states=states,
-                            start_frame=run.start_frame, scene_fpath=run.scene_fpath))
+                            start_frame=run.start_frame, scene_fpath=run.scene_fpath,
+                            max_pixel_err=float(mpe[i])))
     return results
 
 

@@ -13,15 +13,23 @@ import synthetic
 
 @pytest.fixture(scope="module")
 def dataset_root(tmp_path_factory):
-    """Three runs with different rigs and lengths under one root."""
+    """Three runs with different rigs, lengths, and resolutions (one
+    1080p run — per-run camera width must flow into the EKF)."""
     root = tmp_path_factory.mktemp("dataset")
     gts = {}
-    for ri, (n_cams, N, seed) in enumerate([(4, 40, 1), (5, 48, 2), (4, 32, 3)]):
+    widths = {}
+    specs = [
+        (4, 40, 1, (2704, 1520)),
+        (5, 48, 2, (2704, 1520)),
+        (4, 32, 3, (1920, 1080)),
+    ]
+    for ri, (n_cams, N, seed, cam_res) in enumerate(specs):
         run = root / f"2019_03_0{ri + 1}" / "cheetah" / "run"
         dlc = run / "dlc"
         dlc.mkdir(parents=True)
-        cams = synthetic.ring_cameras(n_cams=n_cams)
+        cams = synthetic.ring_cameras(n_cams=n_cams, res=cam_res)
         k, d, r, t, res = cams
+        widths[str(run)] = cam_res[0]
         X = synthetic.cheetah_gallop(N=N, fps=90.0)
         pixels, likelihood, pts3d = synthetic.render_measurements(
             X, cams, noise_px=1.0, outlier_frac=0.01, bad_lik_frac=0.02, seed=seed
@@ -39,11 +47,11 @@ def dataset_root(tmp_path_factory):
         with open(run / "video_info.json", "w") as f:
             json.dump({"resolution": list(res), "fps": 90.0, "tot_frames": N}, f)
         gts[str(run)] = pts3d
-    return str(root), gts
+    return str(root), gts, widths
 
 
 def test_sweep_batched(dataset_root):
-    root, gts = dataset_root
+    root, gts, _widths = dataset_root
     results = sweep.sweep(root, dlc_thresh=0.5, num_iters=40)
     assert len(results) == 3
     for res in results:
@@ -54,7 +62,7 @@ def test_sweep_batched(dataset_root):
 
 
 def test_sweep_batched_ekf(dataset_root):
-    root, gts = dataset_root
+    root, gts, widths = dataset_root
     results = sweep.sweep(root, dlc_thresh=0.5, stages=("ekf",))
     assert len(results) == 3
     for res in results:
@@ -64,3 +72,6 @@ def test_sweep_batched_ekf(dataset_root):
         err = np.linalg.norm(res["positions"][n // 2 :] - pts3d[n // 2 :], axis=-1)
         assert np.nanmean(err) < 0.15, (res["data_dir"], np.nanmean(err))
         assert os.path.exists(os.path.join(res["data_dir"], "ekf", "ekf.pickle"))
+        # untrusted sigma follows each run's own camera width
+        # (src/all_optimizations.py:610) — the 1080p run must use 1920
+        assert res["max_pixel_err"] == widths[res["data_dir"]], res["data_dir"]
