@@ -307,6 +307,47 @@ def undistort_image_fisheye(img, K, D, new_K=None):
     return remap_bilinear(img, map_x, map_y)
 
 
+def undistort_rectify_map_pinhole(K, D, new_K, size):
+    """Source-pixel grids that undistort a standard (rational-model)
+    camera image — twin of cv2.initUndistortRectifyMap as used by
+    create_undistort_img_function (src/calib/calib.py:33-38).
+
+    D: up to 8 coefficients in OpenCV order (k1 k2 p1 p2 k3 k4 k5 k6);
+    shorter vectors are zero-padded. size: (width, height).
+    """
+    W, H = size
+    d = jnp.zeros(8, dtype=jnp.float32).at[: jnp.asarray(D).reshape(-1).shape[0]].set(
+        jnp.asarray(D, jnp.float32).reshape(-1)[:8]
+    )
+    u, v = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32))
+    # output pixel -> ideal normalized coords under new_K
+    a = (u - new_K[0, 2]) / new_K[0, 0]
+    b = (v - new_K[1, 2]) / new_K[1, 1]
+    # forward-distort: normalized -> source pixel
+    r2 = a * a + b * b
+    num = 1.0 + r2 * (d[0] + r2 * (d[1] + r2 * d[4]))
+    den = 1.0 + r2 * (d[5] + r2 * (d[6] + r2 * d[7]))
+    radial = num / den
+    xd = a * radial + 2.0 * d[2] * a * b + d[3] * (r2 + 2.0 * a * a)
+    yd = b * radial + d[2] * (r2 + 2.0 * b * b) + 2.0 * d[3] * a * b
+    map_x = K[0, 0] * xd + K[0, 2]
+    map_y = K[1, 1] * yd + K[1, 2]
+    return map_x, map_y
+
+
+def undistort_image_pinhole(img, K, D, new_K=None):
+    """Undistort one standard-camera image (jit/vmap-able over frames).
+
+    Twin of the reference create_undistort_img_function
+    (src/calib/calib.py:33-38: initUndistortRectifyMap + INTER_LINEAR
+    remap with P=K)."""
+    K = jnp.asarray(K)
+    new_K = K if new_K is None else jnp.asarray(new_K)
+    H, W = jnp.asarray(img).shape[:2]
+    map_x, map_y = undistort_rectify_map_pinhole(K, D, new_K, (W, H))
+    return remap_bilinear(img, map_x, map_y)
+
+
 # --------------------------------------------------------------------------
 # Multi-view batched triangulation (TPU-first: masked, dense)
 # --------------------------------------------------------------------------

@@ -40,6 +40,41 @@ def test_undistort_image_roundtrip(fisheye_cam, rng):
     assert np.median(diff) < 1e-3, np.median(diff)
 
 
+def test_undistort_pinhole_map_and_image_match_cv2(rng):
+    """Rational-model image undistortion == cv2.initUndistortRectifyMap
+    + cv2.remap (reference create_undistort_img_function,
+    src/calib/calib.py:33-38)."""
+    size = (320, 180)
+    K = np.array([[260.0, 0, 160.0], [0, 258.0, 90.0], [0, 0, 1.0]])
+    # 8-coefficient rational model (k1 k2 p1 p2 k3 k4 k5 k6)
+    D = np.array([-0.3, 0.12, 1e-3, -2e-3, -0.02, -0.25, 0.08, -0.01])
+    mx, my = camera.undistort_rectify_map_pinhole(
+        jnp.asarray(K), jnp.asarray(D), jnp.asarray(K), size
+    )
+    mx_ref, my_ref = cv2.initUndistortRectifyMap(
+        K, D, None, K, size, cv2.CV_32FC1
+    )
+    np.testing.assert_allclose(np.asarray(mx), mx_ref, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(my), my_ref, atol=1e-2)
+
+    img = rng.uniform(0, 1, (180, 320)).astype(np.float32)
+    out = np.asarray(camera.undistort_image_pinhole(jnp.asarray(img), K, D))
+    assert out.shape == img.shape
+    ref = cv2.remap(img, mx_ref, my_ref, interpolation=cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_CONSTANT)
+    diff = np.abs(out[20:-20, 20:-20] - ref[20:-20, 20:-20])
+    assert np.median(diff) < 1e-3, np.median(diff)
+
+    # short (5-coefficient) vectors zero-pad like cv2
+    D5 = np.array([-0.3, 0.12, 1e-3, -2e-3, -0.02])
+    mx5, my5 = camera.undistort_rectify_map_pinhole(
+        jnp.asarray(K), jnp.asarray(D5), jnp.asarray(K), size
+    )
+    mx5_ref, my5_ref = cv2.initUndistortRectifyMap(K, D5, None, K, size, cv2.CV_32FC1)
+    np.testing.assert_allclose(np.asarray(mx5), mx5_ref, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(my5), my5_ref, atol=1e-2)
+
+
 def test_get_pairwise_3d_points_from_df():
     import pandas as pd
 
