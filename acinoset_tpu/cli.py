@@ -59,6 +59,14 @@ def main(argv=None):
     pe.add_argument("--result", type=str, required=True)
     pe.add_argument("--gt_h5", type=str, nargs="+", required=True)
     pe.add_argument("--cams", type=int, nargs="+", required=True)
+    pe.add_argument("--hist", type=str, default=None,
+                    help="Save the reprojection-error histogram png here")
+    pe.add_argument("--start_frame", type=int, default=None,
+                    help="GT frame offset of the result window "
+                    "(default: the result pickle's start_frame, else 0)")
+    pe.add_argument("--scene", type=str, default=None,
+                    help="Scene JSON (default: the result pickle's "
+                    "scene_fpath, else walk up from the result)")
 
     args = parser.parse_args(argv)
 
@@ -151,22 +159,44 @@ def main(argv=None):
         from .pipeline import data as data_io
 
         payload = data_io.load_pickle(args.result)
-        scene = payload.get("scene_fpath")
+        scene = args.scene or payload.get("scene_fpath")
         if not (scene and os.path.exists(scene)):
             # walk up from the result file (older pickles lack the path)
             *_ignored, scene = data_io.find_scene_file(
                 os.path.dirname(args.result), verbose=False
             )
         k, d, r, t, _res = data_io.load_scene(scene)
+        N = payload["positions"].shape[0]
+        start = args.start_frame
+        if start is None:
+            start = int(payload.get("start_frame", 0))
+        res_markers = payload.get("markers")
         gt = []
         for fp in args.gt_h5:
-            _frames, _mk, vals = data_io._read_dlc_h5(fp)
-            gt.append(vals[..., :2])
+            _frames, mk, vals = data_io._read_dlc_h5(fp)
+            g = vals[start : start + N, :, :2]
+            if res_markers is not None and list(mk) != list(res_markers):
+                # align GT columns to the result's marker order by name;
+                # result markers absent from the GT become NaN (ignored)
+                aligned = np.full((g.shape[0], len(res_markers), 2), np.nan)
+                for i, m in enumerate(res_markers):
+                    if m in mk:
+                        aligned[:, i] = g[:, list(mk).index(m)]
+                g = aligned
+            gt.append(g)
         res = evaluate_reconstruction(
             payload["positions"], gt, k, d.reshape(-1, 4), r, t, cam_indices=args.cams
         )
         for cam, m in res.items():
             print(cam, {k2: round(v, 4) if isinstance(v, float) else v for k2, v in m.items()})
+        if args.hist:
+            from .eval.metrics import reprojection_errors, save_error_histogram
+
+            errs = reprojection_errors(
+                payload["positions"], gt, k, d.reshape(-1, 4), r, t, cam_indices=args.cams
+            )
+            save_error_histogram(errs, args.hist)
+            print(f"saved histogram: {args.hist} ({errs.size} points)")
         return 0
 
 

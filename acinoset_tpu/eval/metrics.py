@@ -85,3 +85,46 @@ def positions_rmse_3d(pred: np.ndarray, gt: np.ndarray) -> float:
     """3D marker RMSE between two (N, L, 3) reconstructions (NaN-aware)."""
     d = np.linalg.norm(np.asarray(pred) - np.asarray(gt), axis=-1)
     return float(np.sqrt(np.nanmean(d**2)))
+
+
+def reprojection_errors(
+    positions: np.ndarray,
+    gt_2d_per_cam: Sequence[np.ndarray],
+    k_arr, d_arr, r_arr, t_arr,
+    cam_indices: Optional[Sequence[int]] = None,
+) -> np.ndarray:
+    """Flat per-point reprojection error distribution (px) across all
+    evaluated cameras — the quantity the reference histograms
+    (src/testing.py:199-221 plt.hist(errs, bins=20))."""
+    cam_indices = list(cam_indices) if cam_indices is not None else list(range(len(gt_2d_per_cam)))
+    errs = []
+    for ci, gt in zip(cam_indices, gt_2d_per_cam):
+        pred = reproject_positions(positions, k_arr[ci], d_arr[ci], r_arr[ci], t_arr[ci])
+        e = np.linalg.norm(pred - np.asarray(gt), axis=-1).ravel()
+        errs.append(e[np.isfinite(e)])
+    return np.concatenate(errs) if errs else np.zeros(0)
+
+
+def save_error_histogram(
+    errors: np.ndarray,
+    out_fpath: str,
+    bins: int = 20,
+    title: str = "Reprojection error",
+) -> str:
+    """Save the reference-style reprojection-error histogram
+    (src/testing.py:199-205: 20 bins, 'Reprojection Error (px)' /
+    'Frequency' axes) as a png. Returns out_fpath."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.hist(np.asarray(errors), bins=bins)
+    ax.set_title(title)
+    ax.set_xlabel("Reprojection Error (px)")
+    ax.set_ylabel("Frequency")
+    fig.tight_layout()
+    fig.savefig(out_fpath, dpi=120)
+    plt.close(fig)
+    return out_fpath

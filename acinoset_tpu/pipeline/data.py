@@ -131,26 +131,40 @@ def find_scene_file(data_dir, scene_fname=None, verbose: bool = True):
 
     Returns (k_arr, d_arr(C,4), r_arr, t_arr, cam_res, n_cams, scene_fpath).
     """
-    pattern = scene_fname if scene_fname else "[1-9]_cam_scene_sba.json"
+    # primary pattern, then any scene variant (the shipped human data
+    # uses 4_cam_scene_static_sba.json, build.py:97)
+    patterns = (
+        [scene_fname] if scene_fname
+        else ["[1-9]_cam_scene_sba.json", "[1-9]_cam_scene*.json"]
+    )
     current = os.path.abspath(data_dir)
     while True:
         for sub in ("extrinsic_calib", "."):
-            hits = sorted(glob(os.path.join(current, sub, pattern)))
+            hits = []
+            for pattern in patterns:
+                hits = sorted(glob(os.path.join(current, sub, pattern)))
+                if hits:
+                    break
             if hits:
                 scene_fpath = hits[-1]
                 k_arr, d_arr, r_arr, t_arr, cam_res = load_scene(scene_fpath)
+                # trust the file contents over the filename: the shipped
+                # human scene is named 4_cam_... but holds 2 cameras
+                # (matching the 2 shipped DLC .h5 files)
+                n_cams = len(k_arr)
                 m = re.match(r"(\d+)_cam_scene", os.path.basename(scene_fpath))
-                n_cams = int(m.group(1)) if m else len(k_arr)
-                assert n_cams == len(k_arr), (
-                    f"scene file {scene_fpath} claims {n_cams} cams but holds {len(k_arr)}"
-                )
                 if verbose:
                     print(f"Loaded scene file {scene_fpath}")
+                    if m and int(m.group(1)) != n_cams:
+                        print(
+                            f"  note: filename claims {m.group(1)} cams, "
+                            f"file holds {n_cams}"
+                        )
                 return k_arr, d_arr.reshape((-1, 4)), r_arr, t_arr, cam_res, n_cams, scene_fpath
         parent = os.path.dirname(current)
         if parent == current:
             raise FileNotFoundError(
-                f"No scene file matching {pattern} found walking up from {data_dir}"
+                f"No scene file matching {patterns} found walking up from {data_dir}"
             )
         current = parent
 

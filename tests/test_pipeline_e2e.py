@@ -114,3 +114,21 @@ def test_eval_metrics(run_dir):
     )
     assert res["overall"]["rmse_px"] < 5.0, res["overall"]
     assert res["overall"]["pck"] > 0.95
+
+
+def test_eval_cli_with_histogram(run_dir, tmp_path):
+    """`cli eval --hist` produces the reprojection-error histogram
+    artifact (reference src/testing.py:199-221)."""
+    root, pts3d = run_dir
+    from acinoset_tpu.cli import main as cli_main
+
+    h5s = sorted(
+        os.path.join(root, "dlc", f) for f in os.listdir(os.path.join(root, "dlc"))
+    )[:2]
+    hist = str(tmp_path / "reproj_hist.png")
+    rc = cli_main([
+        "eval", "--result", os.path.join(root, "fte", "fte.pickle"),
+        "--gt_h5", *h5s, "--cams", "0", "1", "--hist", hist,
+    ])
+    assert rc == 0
+    assert os.path.exists(hist) and os.path.getsize(hist) > 1000
