@@ -184,6 +184,67 @@ def plot_results_with_pan(
     return positions
 
 
+def animate_reconstruction(
+    result_fpath: str,
+    out_fpath: str,
+    skel_links: Optional[Sequence[Sequence[str]]] = None,
+    fps: float = 15.0,
+    max_frames: int = 300,
+    elev: float = 20.0,
+    azim: float = -60.0,
+):
+    """Render a result pickle's 3D reconstruction as an mp4 — the
+    headless stand-in for the reference's interactive pyqtgraph viewer
+    (src/calib/plotting.py:133-196, plot_cheetah_reconstruction call
+    sites in TRI.ipynb). One matplotlib 3D frame per timestep with
+    fixed axes, stitched by `pipeline.video.images_to_video`.
+
+    skel_links: optional marker-name pairs to draw as bones; the
+    result's own `markers` list (saved by our pipelines) resolves the
+    names. Falls back to a scatter when absent."""
+    import tempfile
+
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    from .video import images_to_video
+
+    payload = data_io.load_pickle(result_fpath)
+    positions = np.asarray(payload["positions"])[:max_frames]
+    markers = list(payload.get("markers") or [])
+    pairs = []
+    if skel_links and markers:
+        for a, b in skel_links:
+            if a in markers and b in markers:
+                pairs.append((markers.index(a), markers.index(b)))
+
+    lo = np.nanmin(positions.reshape(-1, 3), axis=0)
+    hi = np.nanmax(positions.reshape(-1, 3), axis=0)
+    pad = 0.1 * np.maximum(hi - lo, 1e-3)
+    lo, hi = lo - pad, hi + pad
+
+    with tempfile.TemporaryDirectory() as tmp:
+        fpaths = []
+        for n, pts in enumerate(positions):
+            fig = plt.figure(figsize=(8, 6))
+            ax = fig.add_subplot(111, projection="3d")
+            ax.scatter(*pts.T, s=12, c="tab:red")
+            for i, j in pairs:
+                seg = np.stack([pts[i], pts[j]])
+                ax.plot(*seg.T, lw=1.5, c="tab:blue")
+            ax.set_xlim(lo[0], hi[0]); ax.set_ylim(lo[1], hi[1]); ax.set_zlim(lo[2], hi[2])
+            ax.view_init(elev=elev, azim=azim)
+            ax.set_title(f"frame {n}")
+            fp = os.path.join(tmp, f"f{n:05d}.png")
+            fig.savefig(fp, dpi=80)
+            plt.close(fig)
+            fpaths.append(fp)
+        images_to_video(fpaths, out_fpath, fps=fps)
+    return out_fpath
+
+
 def plot_corners(points_fpath: str, out_fpath: Optional[str] = None):
     """Scatter all detected board corners (src/calib/app.py:44-47)."""
     import matplotlib

@@ -19,7 +19,7 @@ def result_pickle(tmp_path):
 
     positions = np.asarray(jax.vmap(cheetah.fk25)(X))
     fp = str(tmp_path / "fte.pickle")
-    data.save_pickle(fp, dict(positions=positions, x=X))
+    data.save_pickle(fp, dict(positions=positions, x=X, markers=cheetah.get_markers()))
     return fp
 
 
@@ -45,6 +45,15 @@ def test_plot_results_with_pan(result_pickle, tmp_path):
     positions = plots.plot_results_with_pan(result_pickle, enc, out_fpath=out)
     assert positions.shape[0] == 12
     assert os.path.getsize(out) > 1000
+
+
+def test_animate_reconstruction(result_pickle, tmp_path):
+    """mp4 playback export (stand-in for the pyqtgraph viewer)."""
+    out = str(tmp_path / "recon.mp4")
+    skel = cheetah.to_skeleton_dict()
+    plots.animate_reconstruction(result_pickle, out, skel_links=skel["links"],
+                                 fps=10.0, max_frames=6)
+    assert os.path.getsize(out) > 5000
 
 
 def test_calibration_plots(tmp_path):
