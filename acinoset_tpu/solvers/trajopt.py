@@ -48,6 +48,7 @@ from .banded import (
     block_banded_solve,
     block_banded_solve_unrolled,
 )
+from .cyclic import banded_solve_cr
 
 
 @dataclass(frozen=True)
@@ -65,9 +66,13 @@ class FteConfig:
     plain_iters: int = 15  # iterations before redescending weights switch on
     #: linear-system backend: 'chol_unrolled' (default — banded Cholesky
     #: with trace-time-unrolled small-matrix factor/inverse; 4.5x faster
-    #: than native TPU cholesky/triangular kernels), 'grouped' (3-frame
+    #: than native TPU cholesky/triangular kernels), 'cr' (block cyclic
+    #: reduction on the 3-frame-grouped tridiagonal form — O(log N)
+    #: sequential depth, see solvers/cyclic.py), 'grouped' (3-frame
     #: block-tridiagonal regrouping, N/3 scan steps of 3Px3P blocks),
-    #: 'chol' (native kernels), or 'cg' (matmul-only truncated-Newton CG)
+    #: 'chol' (native kernels), 'cg' (matmul-only truncated-Newton CG),
+    #: or 'pallas' (single-launch fused factor+solve TPU kernel,
+    #: kernels/banded_pallas.py)
     linear_solver: str = "chol_unrolled"
     cg_iters: int = 50
     limit_penalty: float = 1e4
@@ -288,6 +293,12 @@ def fte_solve(
             dX = block_banded_solve(L, -g * s) * s
         elif cfg.linear_solver == "grouped":
             dX = banded_solve_grouped(bands, -g * s) * s
+        elif cfg.linear_solver == "cr":
+            dX = banded_solve_cr(bands, -g * s) * s
+        elif cfg.linear_solver == "pallas":
+            from ..kernels.banded_pallas import banded_solve_pallas_vmappable
+
+            dX = banded_solve_pallas_vmappable(*bands, -g * s) * s
         else:
             dX = block_banded_solve_unrolled(bands, -g * s) * s
 

@@ -83,3 +83,20 @@ def test_banded_grouped_matches_dense_and_unrolled(rng):
         np.testing.assert_allclose(x_g, x_ref, atol=1e-9)
         x_u = np.asarray(banded.block_banded_solve_unrolled(jb, jnp.asarray(b)))
         np.testing.assert_allclose(x_g, x_u, atol=1e-9)
+
+
+def test_banded_cr_matches_dense(rng):
+    """Block cyclic reduction == dense solve at f32 round-off, including
+    N not divisible by the 3-frame grouping and N < bandwidth."""
+    from acinoset_tpu.solvers.cyclic import banded_solve_cr
+
+    for N, P in [(12, 5), (13, 5), (5, 25), (4, 4), (16, 3)]:
+        A, bands = make_spd_banded(rng, N, P)
+        g = rng.normal(size=(N, P))
+        ref = np.linalg.solve(A, g.reshape(-1)).reshape(N, P)
+        x = np.asarray(
+            banded_solve_cr([jnp.asarray(b, jnp.float32) for b in bands],
+                            jnp.asarray(g, jnp.float32))
+        )
+        rel = np.abs(x - ref).max() / np.abs(ref).max()
+        assert rel < 1e-5, (N, P, rel)

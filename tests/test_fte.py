@@ -132,6 +132,21 @@ def test_fte_linear_solver_variants_agree(synth):
     # comparable progress on the same objective
     assert float(info_cg["cost"]) < float(info_ref["cost"]) * 1.2 + 1e-6
 
+    X_cr, info_cr = trajopt.fte_solve(h, X0, meas, w, replace(cfg, linear_solver="cr"))
+    np.testing.assert_allclose(np.asarray(X_cr), np.asarray(X_ref), atol=1e-5)
+    np.testing.assert_allclose(
+        float(info_cr["cost"]), float(info_ref["cost"]), rtol=1e-6
+    )
+
+    # pallas (Newton-Schulz Schur inverses; interpret mode on CPU): the
+    # NS inverse is inexact-class once LM damping decays (solve error
+    # ~kappa*eps flips accept decisions), so like CG it is held to
+    # cost-progress on the same objective, not per-iterate equality
+    X_pl, info_pl = trajopt.fte_solve(
+        h, X0, meas, w, replace(cfg, linear_solver="pallas")
+    )
+    assert float(info_pl["cost"]) < float(info_ref["cost"]) * 1.2 + 1e-6
+
 
 def test_hj_fn_matches_jacfwd(synth):
     """The chain-rule (h, J) hook equals jacfwd of the composition."""
