@@ -94,7 +94,8 @@ def pad_batch(arrs: Sequence[np.ndarray], multiple: int):
     return out, B
 
 
-def sharded_fte_solver(mesh: Mesh, h_fn, cfg, shard_cameras: bool = True):
+def sharded_fte_solver(mesh: Mesh, h_fn, cfg, shard_cameras: bool = True,
+                       hj_parts_fn=None):
     """Return a jitted batched FTE solver with mesh shardings baked in.
 
     The returned fn maps (X0 (B,N,P), meas (B,N,C,L,2), w (B,N,C,L)) ->
@@ -112,6 +113,8 @@ def sharded_fte_solver(mesh: Mesh, h_fn, cfg, shard_cameras: bool = True):
     out_sharding = NamedSharding(mesh, P("data", None, None))
 
     def batched(X0, meas, w):
-        return jax.vmap(lambda a, b, c: fte_solve(h_fn, a, b, c, cfg)[0])(X0, meas, w)
+        return jax.vmap(
+            lambda a, b, c: fte_solve(h_fn, a, b, c, cfg, hj_parts_fn=hj_parts_fn)[0]
+        )(X0, meas, w)
 
     return jax.jit(batched, in_shardings=in_shardings, out_shardings=out_sharding)

@@ -102,6 +102,43 @@ def make_hj_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
     return hj
 
 
+def make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
+    """Chain-rule measurement Jacobian, *unassembled*, for
+    `trajopt.fte_solve(hj_parts_fn=...)`.
+
+    Returns x -> (h (C*L*2,), Jp (C, L, 2, 3), Jfk (L, 3, 25)) so the
+    full J = Jp @ Jfk is never materialized — the FTE assembles the GN
+    normal equations directly from the two factors (H = Jfk^T A Jfk with
+    (3, 3) per-marker cores), cutting the measurement stage's HBM
+    traffic ~8x versus carrying J (m, 25) per frame.
+    """
+    k = jnp.asarray(k_arr, dtype)
+    d = jnp.asarray(d_arr, dtype).reshape(k.shape[0], -1)[:, :4]
+    r = jnp.asarray(r_arr, dtype)
+    t = jnp.asarray(t_arr, dtype).reshape(k.shape[0], 3)
+
+    fk_and_jac = lambda p: (cheetah.fk25(p), jax.jacfwd(cheetah.fk25)(p))
+
+    def proj_all(pts):  # (L, 3) -> (C, L, 2)
+        return jax.vmap(
+            lambda K, D, R, T: cam_ops.project_points_fisheye(pts, K, D, R, T)
+        )(k, d, r, t)
+
+    jac_proj = jax.jacfwd(
+        lambda pt, K, D, R, T: cam_ops.project_points_fisheye(pt, K, D, R, T)
+    )  # (2, 3) per point
+
+    def hj_parts(pose25):
+        pts, Jfk = fk_and_jac(pose25)  # (L,3), (L,3,25)
+        h = proj_all(pts)  # (C, L, 2)
+        Jp = jax.vmap(
+            lambda K, D, R, T: jax.vmap(lambda p: jac_proj(p, K, D, R, T))(pts)
+        )(k, d, r, t)  # (C, L, 2, 3)
+        return h.reshape(-1), Jp, Jfk
+
+    return hj_parts
+
+
 def run_cheetah_ekf(
     pixels: np.ndarray,  # (N, C, L, 2)
     likelihood: np.ndarray,  # (N, C, L)

@@ -23,7 +23,7 @@ from ..ops import camera as cam_ops
 from ..solvers import trajopt
 from . import app
 from . import data as data_io
-from .ekf import make_h_fn, nose_track_linreg
+from .ekf import make_h_fn, make_hj_parts_fn, nose_track_linreg
 from .tri import triangulate_run
 
 
@@ -37,6 +37,10 @@ def default_config(fps: float, num_iters: int = 60) -> trajopt.FteConfig:
         meas_std_px=cheetah.MEAS_STD_PX,
         redesc=(cheetah.REDESC_A, cheetah.REDESC_B, cheetah.REDESC_C),
         num_iters=num_iters,
+        # spectral PCG: measured 99.8 traj/s vs 71.0 (chol_unrolled) on
+        # the flagship v5e batch at equal-or-better marker error (7.5 vs
+        # 8.1 mm) — see README / scripts/profile_fte.py
+        linear_solver="pcg",
     )
 
 
@@ -81,16 +85,19 @@ def fte_run(
 
     X0 = initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr, frames, dlc_thresh)
 
-    # note: a chain-rule Jacobian (make_hj_fn) is available via
-    # fte_solve(hj_fn=...) but measured no faster than plain jacfwd on
-    # TPU under bf16 matmul passes — default stays jacfwd
+    # measurement stage: unassembled chain-rule Jacobian (J = Jp @ Jfk is
+    # never materialized — see trajopt.fte_solve docstring; measured
+    # ~1.4x whole-solve speedup on TPU over plain jacfwd)
     h_fn = make_h_fn(k_arr, d_arr, r_arr, t_arr, dtype)
+    hj_parts = make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr, dtype)
     meas = jnp.asarray(pixels.transpose(1, 0, 2, 3), dtype)  # (N, C, L, 2)
     lik = np.nan_to_num(likelihood.transpose(1, 0, 2), nan=-1.0)
     w_meas = jnp.asarray((lik > dlc_thresh) / cfg.meas_std_px, dtype)
 
     X, info = jax.jit(
-        lambda X0_, meas_, w_: trajopt.fte_solve(h_fn, X0_, meas_, w_, cfg)
+        lambda X0_, meas_, w_: trajopt.fte_solve(
+            h_fn, X0_, meas_, w_, cfg, hj_parts_fn=hj_parts
+        )
     )(jnp.asarray(X0, dtype), meas, w_meas)
 
     positions = np.asarray(jax.vmap(cheetah.fk25)(X))

@@ -339,6 +339,83 @@ def banded_cg_solve(
     return x
 
 
+@f32_matmuls
+def pcg_solve(matvec, minv, b: jnp.ndarray, num_iters: int = 16,
+              tol: float = 1e-6) -> jnp.ndarray:
+    """Generic preconditioned CG with a fixed (jit-static) iteration
+    count. `tol` is relative: iterations freeze once the M-norm residual
+    drops below tol^2 of its initial value."""
+    x = jnp.zeros_like(b)
+    r = b
+    z = minv(r)
+    p = z
+    rz = jnp.sum(r * z)
+    rz0 = rz
+
+    def step(carry, _):
+        x, r, p, rz = carry
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        active = (rz > tol * tol * rz0) & (denom > 0)
+        alpha = jnp.where(active, rz / jnp.where(denom > 0, denom, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(active, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, r, p, rz), _ = jax.lax.scan(step, (x, r, p, rz), None, length=num_iters)
+    return x
+
+
+def spectral_minv(U: jnp.ndarray, eigs: jnp.ndarray, wq: jnp.ndarray,
+                  c: jnp.ndarray):
+    """Preconditioner for the *unscaled* FTE normal equations.
+
+    The ill-conditioned part of the system is the model term, and it is
+    exactly separable: 2 (D3^T D3) (x) diag(1/q), with D3^T D3 a static
+    (N, N) matrix whose eigendecomposition U diag(eigs) U^T is computed
+    once at trace time (host numpy). The preconditioner
+
+        M = U [ 2 eigs_k wq_p + c_p ] U^T      (c = mean frame-local diag)
+
+    captures the model term exactly and the measurement/limit/damping
+    diagonal on average, so CG convergence is governed only by the
+    *per-frame variation* of the measurement Hessian — ~16 iterations
+    of a few large batched ops replace the N-step factorization scan
+    that makes the direct solvers latency-bound on TPU."""
+
+    def minv(r):
+        y = U.T @ r  # project onto the smoothness eigenbasis (time axis)
+        y = y / (2.0 * eigs[:, None] * wq[None, :] + c[None, :])
+        return U @ y
+
+    return minv
+
+
+def banded_pcg_solve(
+    bands: Sequence[jnp.ndarray],
+    b: jnp.ndarray,
+    U: jnp.ndarray,
+    eigs: jnp.ndarray,
+    wq: jnp.ndarray,
+    c: jnp.ndarray,
+    num_iters: int = 16,
+    tol: float = 1e-6,
+) -> jnp.ndarray:
+    """Spectral PCG against explicit banded storage (testing/reference
+    form; the FTE hot path uses the structured operator in
+    solvers/trajopt.py, which reads the measurement Hessian once instead
+    of four mostly-diagonal (N, P, P) bands). bands: UNscaled [A0..A3]
+    with damping already added to A0; b: (N, P)."""
+    return pcg_solve(
+        lambda p: banded_matvec(bands, p), spectral_minv(U, eigs, wq, c),
+        b, num_iters=num_iters, tol=tol,
+    )
+
+
 def banded_matvec(bands: Sequence[jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
     """y = A x for the symmetric block-banded A (testing utility)."""
     q = len(bands) - 1

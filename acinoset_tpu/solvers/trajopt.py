@@ -47,6 +47,8 @@ from .banded import (
     block_banded_cholesky,
     block_banded_solve,
     block_banded_solve_unrolled,
+    pcg_solve,
+    spectral_minv,
 )
 from .cyclic import banded_solve_cr
 
@@ -71,10 +73,14 @@ class FteConfig:
     #: sequential depth, see solvers/cyclic.py), 'grouped' (3-frame
     #: block-tridiagonal regrouping, N/3 scan steps of 3Px3P blocks),
     #: 'chol' (native kernels), 'cg' (matmul-only truncated-Newton CG),
-    #: or 'pallas' (single-launch fused factor+solve TPU kernel,
+    #: 'pcg' (spectrally-preconditioned CG — the D3^T D3 model term is
+    #: diagonalized exactly by a trace-time eigendecomposition, so ~15
+    #: big-matmul iterations replace the N-step factorization scan), or
+    #: 'pallas' (single-launch fused factor+solve TPU kernel,
     #: kernels/banded_pallas.py)
     linear_solver: str = "chol_unrolled"
     cg_iters: int = 50
+    pcg_iters: int = 16
     limit_penalty: float = 1e4
     lam0: float = 1e-2
     lam_up: float = 4.0
@@ -97,13 +103,18 @@ def _d3_correlate(v, Ts):
     return g / Ts**2
 
 
-def _d3_gram_bands(N: int, Ts: float) -> np.ndarray:
-    """Scalar bands of D3^T D3 (exact, boundary-corrected). Shape (4, N)."""
+def _d3_gram_dense(N: int, Ts: float) -> np.ndarray:
+    """Dense D3^T D3 (exact, boundary-corrected). Shape (N, N)."""
     c = np.array([-1.0, 3.0, -3.0, 1.0]) / Ts**2  # coefficient of x[n-3..n]
     D = np.zeros((max(N - 3, 0), N))
     for r in range(max(N - 3, 0)):
         D[r, r : r + 4] = c
-    G = D.T @ D
+    return D.T @ D
+
+
+def _d3_gram_bands(N: int, Ts: float) -> np.ndarray:
+    """Scalar bands of D3^T D3 (exact, boundary-corrected). Shape (4, N)."""
+    G = _d3_gram_dense(N, Ts)
     bands = np.zeros((4, N))
     for k in range(4):
         for n in range(k, N):
@@ -132,6 +143,7 @@ def fte_solve(
     aux=None,
     n_valid=None,
     hj_fn=None,
+    hj_parts_fn=None,
 ):
     """Solve one FTE trajectory. Returns (X, info dict).
 
@@ -158,6 +170,16 @@ def fte_solve(
     frame (J flat (m, P)) — e.g. a chain-rule split J = J_proj @ J_fk
     that avoids pushing all P tangents through the camera projection
     (see pipeline.ekf.make_hj_fn). Defaults to jacfwd of h_fn.
+
+    ``hj_parts_fn`` (preferred on TPU) supplies the chain-rule Jacobian
+    *unassembled*: x -> (h (m,), Jp (C, L, 2, 3), Jfk (L, 3, P)) — see
+    pipeline.ekf.make_hj_parts_fn. The full J = Jp @ Jfk (m, P) is then
+    NEVER materialized: the GN pieces factor through the marker points,
+        H = Jfk^T [ sum_c Jp^T diag(omega) Jp ] Jfk      ((L, 3, 3) cores)
+        g = Jfk^T [ sum_c Jp^T (omega * resid) ],
+    which cuts the measurement-stage HBM traffic ~8x (J for the flagship
+    batch is 230 MB per evaluation and lives in the iteration carry) —
+    measured ~1.5x on whole-iteration time (scripts/profile_fte.py).
     """
     if aux is not None:
         base_h = h_fn
@@ -165,12 +187,24 @@ def fte_solve(
         if hj_fn is not None:
             base_hj = hj_fn
             hj_fn = lambda x: base_hj(x, aux)  # noqa: E731
+        if hj_parts_fn is not None:
+            base_hjp = hj_parts_fn
+            hj_parts_fn = lambda x: base_hjp(x, aux)  # noqa: E731
     N, P = X0.shape
     dtype = X0.dtype
     q = jnp.asarray(cfg.q_var, dtype)
     lo = jnp.asarray(cfg.lo, dtype)
     hi = jnp.asarray(cfg.hi, dtype)
     a, b, c = cfg.redesc
+
+    if cfg.linear_solver == "pcg":
+        # trace-time eigendecomposition of the static third-difference
+        # Gram: the spectral preconditioner's basis (host numpy, cheap)
+        _e, _U = np.linalg.eigh(_d3_gram_dense(N, cfg.Ts))
+        U_pc = jnp.asarray(_U, dtype)
+        e_pc = jnp.asarray(np.maximum(_e, 0.0), dtype)
+    else:
+        U_pc = e_pc = None
 
     # third-difference row mask (row r involves frames r..r+3)
     if n_valid is None:
@@ -197,7 +231,13 @@ def fte_solve(
     w = jnp.where(jnp.isfinite(w_meas), w_meas, 0.0)
 
     h_flat = lambda x: h_fn(x).reshape(-1)  # (m,)
-    if hj_fn is None:
+    if hj_parts_fn is not None:
+        def _hjp(x):
+            hh, Jp, Jfk = hj_parts_fn(x)
+            return hh, (Jp, Jfk)  # J rides in the carry as the two factors
+
+        hj_batch = jax.vmap(_hjp)
+    elif hj_fn is None:
         _jac = jax.jacfwd(h_flat)
         hj_batch = jax.vmap(lambda x: (h_flat(x), _jac(x)))
     else:
@@ -240,10 +280,23 @@ def fte_solve(
         # the previous iteration's candidate evaluation)
         e = w_flat_all * (hX - meas_flat)  # (N, m) scaled residuals
         w_irls = jnp.where(robust_on, meas_irls(e), 1.0)
-        J = JX * w_flat_all[..., None]  # d e / d x  (N, m, P)
-        Wm = w_irls  # (N, m)
-        H_meas = jnp.einsum("nmi,nm,nmj->nij", J, Wm, J)  # (N, P, P)
-        g_meas = jnp.einsum("nmi,nm,nm->ni", J, Wm, e)  # (N, P)
+        if hj_parts_fn is not None:
+            # J = Jp @ Jfk never materialized: contract through the
+            # (L, 3, 3) per-marker cores
+            JpX, JfkX = JX
+            C = meas.shape[1]
+            Lm = meas.shape[2]
+            omega = (w_flat_all**2 * w_irls).reshape(N, C, Lm, 2)
+            er = (w_flat_all * w_irls * e).reshape(N, C, Lm, 2)
+            A = jnp.einsum("nclui,nclu,ncluj->nlij", JpX, omega, JpX)
+            H_meas = jnp.einsum("nlxa,nlxy,nlyb->nab", JfkX, A, JfkX)
+            bv = jnp.einsum("nclui,nclu->nli", JpX, er)
+            g_meas = jnp.einsum("nlxa,nlx->na", JfkX, bv)
+        else:
+            J = JX * w_flat_all[..., None]  # d e / d x  (N, m, P)
+            Wm = w_irls  # (N, m)
+            H_meas = jnp.einsum("nmi,nm,nmj->nij", J, Wm, J)  # (N, P, P)
+            g_meas = jnp.einsum("nmi,nm,nm->ni", J, Wm, e)  # (N, P)
 
         # ---- model (third-difference) pieces, banded
         d3 = third_difference(X, cfg.Ts) * row_mask[:, None]  # (N-3, P)
@@ -273,34 +326,66 @@ def fte_solve(
         damp = lam * jnp.maximum(diag0, 1e-8)
         bands[0] = bands[0].at[:, jnp.arange(P), jnp.arange(P)].add(damp)
 
-        # Jacobi (symmetric diagonal) preconditioning: the model terms
-        # carry 1/Ts^4 (~1e7 at 90 fps) while measurement terms are
-        # O(1e4) — rescaling to unit diagonal keeps the banded Cholesky
-        # accurate in float32 on TPU.
-        diag_full = diag0 + damp
-        s = 1.0 / jnp.sqrt(jnp.maximum(diag_full, 1e-20))  # (N, P)
-        zeros_pad = jnp.zeros((3, P), dtype)
-        s_shift = [s]
-        for k in range(1, 4):
-            s_shift.append(jnp.concatenate([zeros_pad[:k], s[:-k]], axis=0))
-        bands = [
-            bands[k] * s[:, :, None] * s_shift[k][:, None, :] for k in range(4)
-        ]
-        if cfg.linear_solver == "cg":
-            dX = banded_cg_solve(bands, -g * s, num_iters=cfg.cg_iters) * s
-        elif cfg.linear_solver == "chol":
-            L = block_banded_cholesky(bands)
-            dX = block_banded_solve(L, -g * s) * s
-        elif cfg.linear_solver == "grouped":
-            dX = banded_solve_grouped(bands, -g * s) * s
-        elif cfg.linear_solver == "cr":
-            dX = banded_solve_cr(bands, -g * s) * s
-        elif cfg.linear_solver == "pallas":
-            from ..kernels.banded_pallas import banded_solve_pallas_vmappable
+        if cfg.linear_solver == "pcg":
+            # spectral preconditioning solves the UNscaled system with a
+            # *structured* operator: the model term applies as the D3
+            # stencil (a handful of shifted adds — no (P, P) band
+            # matrices materialized or read), the measurement term as
+            # one einsum over H_meas, the rest as a diagonal. The
+            # preconditioner M = U diag(2 e_k wq_p + c_p) U^T inverts
+            # the model term exactly in the precomputed eigenbasis;
+            # c = mean frame-local diag. With n_valid masking the
+            # unmasked G is used — M is then approximate, which PCG
+            # tolerates.
+            diag_model = 2.0 * gram_bands[0][:, None] * wq[None, :]
+            diag_extra = diag0 + damp - diag_model  # lim + damp + H diag
+            # keep only H's off-diagonal structure in the einsum operand;
+            # full H is fine too — but diag is already in diag_extra, so
+            # subtract it to avoid double counting
+            H_offdiag = H_meas - jnp.zeros_like(H_meas).at[
+                :, jnp.arange(P), jnp.arange(P)
+            ].set(jnp.diagonal(H_meas, axis1=-2, axis2=-1))
 
-            dX = banded_solve_pallas_vmappable(*bands, -g * s) * s
+            def _A_mul(x):
+                d3x = third_difference(x, cfg.Ts) * row_mask[:, None]
+                model = 2.0 * _d3_correlate(d3x * wq[None, :], cfg.Ts)
+                meas = jnp.einsum("nij,nj->ni", H_offdiag, x)
+                return model + meas + diag_extra * x
+
+            c_pc = jnp.maximum(jnp.mean(diag_extra, axis=0), 1e-12)
+            dX = pcg_solve(
+                _A_mul, spectral_minv(U_pc, e_pc, wq, c_pc), -g,
+                num_iters=cfg.pcg_iters,
+            )
         else:
-            dX = block_banded_solve_unrolled(bands, -g * s) * s
+            # Jacobi (symmetric diagonal) preconditioning: the model terms
+            # carry 1/Ts^4 (~1e7 at 90 fps) while measurement terms are
+            # O(1e4) — rescaling to unit diagonal keeps the banded Cholesky
+            # accurate in float32 on TPU.
+            diag_full = diag0 + damp
+            s = 1.0 / jnp.sqrt(jnp.maximum(diag_full, 1e-20))  # (N, P)
+            zeros_pad = jnp.zeros((3, P), dtype)
+            s_shift = [s]
+            for k in range(1, 4):
+                s_shift.append(jnp.concatenate([zeros_pad[:k], s[:-k]], axis=0))
+            bands = [
+                bands[k] * s[:, :, None] * s_shift[k][:, None, :] for k in range(4)
+            ]
+            if cfg.linear_solver == "cg":
+                dX = banded_cg_solve(bands, -g * s, num_iters=cfg.cg_iters) * s
+            elif cfg.linear_solver == "chol":
+                L = block_banded_cholesky(bands)
+                dX = block_banded_solve(L, -g * s) * s
+            elif cfg.linear_solver == "grouped":
+                dX = banded_solve_grouped(bands, -g * s) * s
+            elif cfg.linear_solver == "cr":
+                dX = banded_solve_cr(bands, -g * s) * s
+            elif cfg.linear_solver == "pallas":
+                from ..kernels.banded_pallas import banded_solve_pallas_vmappable
+
+                dX = banded_solve_pallas_vmappable(*bands, -g * s) * s
+            else:
+                dX = block_banded_solve_unrolled(bands, -g * s) * s
 
         X_new = X + dX
         h_new, J_new = hj_batch(X_new)  # the iteration's ONE measurement pass
@@ -308,7 +393,8 @@ def fte_solve(
         ok = (new_cost < cost) & jnp.all(jnp.isfinite(dX))
         X = jnp.where(ok, X_new, X)
         hX = jnp.where(ok, h_new, hX)
-        JX = jnp.where(ok, J_new, JX)
+        # JX is the flat Jacobian or, in parts mode, the (Jp, Jfk) tuple
+        JX = jax.tree.map(lambda a_, b_: jnp.where(ok, a_, b_), J_new, JX)
         cost = jnp.where(ok, new_cost, cost)
         lam = jnp.clip(jnp.where(ok, lam * cfg.lam_down, lam * cfg.lam_up), 1e-10, 1e10)
         return (X, hX, JX, lam, cost), cost

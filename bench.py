@@ -33,7 +33,7 @@ def main():
     import jax.numpy as jnp
 
     from acinoset_tpu.parallel import mesh as mesh_lib
-    from acinoset_tpu.pipeline.ekf import make_h_fn
+    from acinoset_tpu.pipeline.ekf import make_h_fn, make_hj_parts_fn
     from acinoset_tpu.pipeline.fte import default_config, initial_trajectory
     from acinoset_tpu.utils import synthetic
 
@@ -52,6 +52,10 @@ def main():
     )
 
     cfg = default_config(90.0, num_iters=iters)
+    if os.environ.get("BENCH_SOLVER"):
+        from dataclasses import replace
+
+        cfg = replace(cfg, linear_solver=os.environ["BENCH_SOLVER"])
     h = make_h_fn(k_arr, d_arr, r_arr, t_arr, dtype)
     X0 = initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr, np.arange(N), 0.5)
     meas = pixels.transpose(1, 0, 2, 3)
@@ -67,7 +71,10 @@ def main():
     X0s, meass, ws = mesh_lib.shard_batch(
         mesh, jnp.asarray(X0b, dtype), jnp.asarray(measb, dtype), jnp.asarray(wb, dtype)
     )
-    solver = mesh_lib.sharded_fte_solver(mesh, h, cfg)
+    hj_parts = make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr, dtype)
+    if os.environ.get("BENCH_NO_PARTS"):
+        hj_parts = None
+    solver = mesh_lib.sharded_fte_solver(mesh, h, cfg, hj_parts_fn=hj_parts)
 
     with mesh:
         X = solver(X0s, meass, ws)  # compile + warmup

@@ -105,8 +105,43 @@ def main():
 
     t_solve = chain_time(mk_solve_body(block_banded_solve_unrolled), g0,
                          "banded solve (chol_unrolled)")
-    t_cr = chain_time(mk_solve_body(banded_solve_cr), g0,
-                      "banded solve (cyclic reduction)")
+    if os.environ.get("PROFILE_CR"):
+        chain_time(mk_solve_body(banded_solve_cr), g0,
+                   "banded solve (cyclic reduction)")
+
+    # ---- spectral PCG on the unscaled system
+    from acinoset_tpu.solvers.banded import banded_pcg_solve
+    from acinoset_tpu.solvers.trajopt import _d3_gram_bands, _d3_gram_dense
+
+    Ts = 1.0 / 90.0
+    wq = jnp.asarray(1.0 / (0.01 + rng.uniform(size=P)), jnp.float32)
+    gram = _d3_gram_bands(N, Ts)
+    ubands = []
+    for k in range(4):
+        Bk = np.zeros((N, P, P), np.float32)
+        Bk[:, np.arange(P), np.arange(P)] = 2.0 * gram[k][:, None] * np.asarray(wq)
+        ubands.append(jnp.asarray(np.broadcast_to(Bk, (B, N, P, P)).copy()))
+    Mm = rng.normal(size=(B, N, 12, P)).astype(np.float32) * 50.0
+    H = jnp.asarray(np.einsum("bnmi,bnmj->bnij", Mm, Mm))
+    ubands[0] = ubands[0] + H + 1e-4 * jnp.eye(P)
+    _e, _U = np.linalg.eigh(_d3_gram_dense(N, Ts))
+    U = jnp.asarray(_U, jnp.float32)
+    ev = jnp.asarray(np.maximum(_e, 0.0), jnp.float32)
+    cvec = jnp.maximum(
+        jnp.mean(jnp.diagonal(H, axis1=-2, axis2=-1), axis=(0, 1)), 1e-12
+    )
+    vpcg = jax.vmap(
+        lambda a0, a1, a2, a3, r: banded_pcg_solve(
+            [a0, a1, a2, a3], r, U, ev, wq, cvec, num_iters=16
+        )
+    )
+
+    def pcg_body(g, k):
+        s = 1.0 + 1e-4 * (k + 1).astype(jnp.float32)
+        x = vpcg(ubands[0] * s, ubands[1] * s, ubands[2] * s, ubands[3] * s, g)
+        return g0 + 1e-6 * x
+
+    chain_time(pcg_body, g0, "banded solve (spectral pcg, 16 it)")
 
     print(f"\nsum of stages: {(t_hj + t_asm + t_solve)*1e3:.1f} ms "
           f"vs measured full GN iter ~38 ms")

@@ -75,10 +75,16 @@ def test_fte_recovers_synthetic_run(synth):
 
 
 def test_fte_vmappable(synth):
-    """The solver vmaps over a batch of trajectories (the TPU scaling axis)."""
+    """The solver vmaps over a batch of trajectories (the TPU scaling axis).
+
+    Identical batch rows must agree bitwise, which needs the exact direct
+    solver — the iterative pcg default amplifies reduction-order noise
+    through accept/reject branches (~1e-6 relative row spread)."""
+    from dataclasses import replace
+
     cams, X_true, pixels, likelihood, pts3d = synth
     k_arr, d_arr, r_arr, t_arr, res = cams
-    cfg = default_config(90.0, num_iters=8)
+    cfg = replace(default_config(90.0, num_iters=8), linear_solver="chol_unrolled")
     h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
 
     from acinoset_tpu.pipeline.fte import initial_trajectory
@@ -101,15 +107,16 @@ def test_fte_vmappable(synth):
 
 
 def test_fte_linear_solver_variants_agree(synth):
-    """'grouped' and 'cg' linear solvers reach the same trajectory as the
-    default 'chol_unrolled' (identical math, different factorizations)."""
+    """Every linear-solver backend reaches the 'chol_unrolled' reference:
+    exact backends (grouped, cr) per-iterate, inexact-Newton backends
+    (cg, pcg, pallas) by cost progress on the same objective."""
     from dataclasses import replace
 
     from acinoset_tpu.pipeline.fte import initial_trajectory
 
     cams, X_true, pixels, likelihood, pts3d = synth
     k_arr, d_arr, r_arr, t_arr, res = cams
-    cfg = default_config(90.0, num_iters=8)
+    cfg = replace(default_config(90.0, num_iters=8), linear_solver="chol_unrolled")
     h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
     N = pixels.shape[1]
     X0 = jnp.asarray(
@@ -131,6 +138,13 @@ def test_fte_linear_solver_variants_agree(synth):
     # truncated CG is inexact-Newton: iterates differ, but it must make
     # comparable progress on the same objective
     assert float(info_cg["cost"]) < float(info_ref["cost"]) * 1.2 + 1e-6
+
+    # spectrally-preconditioned CG: same inexact-Newton class, must make
+    # the same progress with ~16 inner iterations
+    X_pcg, info_pcg = trajopt.fte_solve(
+        h, X0, meas, w, replace(cfg, linear_solver="pcg")
+    )
+    assert float(info_pcg["cost"]) < float(info_ref["cost"]) * 1.2 + 1e-6
 
     X_cr, info_cr = trajopt.fte_solve(h, X0, meas, w, replace(cfg, linear_solver="cr"))
     np.testing.assert_allclose(np.asarray(X_cr), np.asarray(X_ref), atol=1e-5)
@@ -164,3 +178,31 @@ def test_hj_fn_matches_jacfwd(synth):
     h2, J2 = hj(x)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-10)
     np.testing.assert_allclose(np.asarray(J1), np.asarray(J2), atol=1e-10)
+
+
+def test_fte_hj_parts_matches_default(synth):
+    """The unassembled chain-rule measurement mode (hj_parts_fn) reaches
+    the same solution as the default jacfwd path: identical math,
+    different contraction order."""
+    from acinoset_tpu.pipeline.ekf import make_hj_parts_fn
+    from acinoset_tpu.pipeline.fte import initial_trajectory
+
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    cfg = default_config(90.0, num_iters=8)
+    h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
+    hj_parts = make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr)
+    N = pixels.shape[1]
+    X0 = jnp.asarray(
+        initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr,
+                           np.arange(N), 0.5)
+    )
+    meas = jnp.asarray(pixels.transpose(1, 0, 2, 3))
+    w = jnp.asarray((likelihood.transpose(1, 0, 2) > 0.5) / cfg.meas_std_px)
+
+    X_ref, info_ref = trajopt.fte_solve(h, X0, meas, w, cfg)
+    X_p, info_p = trajopt.fte_solve(h, X0, meas, w, cfg, hj_parts_fn=hj_parts)
+    np.testing.assert_allclose(np.asarray(X_p), np.asarray(X_ref), atol=1e-5)
+    np.testing.assert_allclose(
+        float(info_p["cost"]), float(info_ref["cost"]), rtol=1e-7
+    )

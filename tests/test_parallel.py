@@ -33,7 +33,13 @@ def _fte_problem(n_cams=4, N=24):
     pixels, likelihood, _ = synthetic.render_measurements(X, cams, noise_px=1.0, seed=5)
     k_arr, d_arr, r_arr, t_arr, res = cams
 
-    cfg = default_config(90.0, num_iters=6)
+    from dataclasses import replace
+
+    # the exact direct solver: sharding equivalence is asserted bitwise,
+    # which an inexact iterative default (pcg) cannot promise — psum
+    # reduction order shifts iterates and accept/reject decisions flip;
+    # pcg under sharding is covered by the cost-parity test below
+    cfg = replace(default_config(90.0, num_iters=6), linear_solver="chol_unrolled")
     h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
     X0 = initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr,
                             np.arange(N), 0.5)
@@ -85,3 +91,52 @@ def test_pad_batch():
     (ap,), B = mesh_lib.pad_batch([a], 4)
     assert B == 5 and ap.shape == (8, 2)
     np.testing.assert_array_equal(ap[5], a[0])
+
+
+def test_sharded_pcg_cost_parity():
+    """The production default (spectral PCG + unassembled measurement
+    stage) under a camera-sharded mesh reaches the same objective value
+    as its single-device run. Bitwise equality is not promised (psum
+    reduction order shifts iterates), so the assertion is cost parity
+    on the exact reference objective."""
+    from acinoset_tpu.pipeline.ekf import make_hj_parts_fn
+    from acinoset_tpu.solvers.trajopt import fte_solve
+
+    _cfg6, h, X0, meas, w = _fte_problem(n_cams=4)
+    from acinoset_tpu.pipeline.fte import default_config
+
+    # near convergence (mid-descent costs are path-dependent: one flipped
+    # accept decision early shifts the whole descent; at the plateau all
+    # paths meet)
+    cfg = default_config(90.0, num_iters=20)
+    assert cfg.linear_solver == "pcg"
+    import synthetic as synth_mod  # path set up by _fte_problem
+
+    k_arr, d_arr, r_arr, t_arr, _res = synth_mod.ring_cameras(n_cams=4)
+    hj_parts = make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr)
+
+    _, info_single = fte_solve(
+        h, jnp.asarray(X0), jnp.asarray(meas), jnp.asarray(w), cfg,
+        hj_parts_fn=hj_parts,
+    )
+
+    B = 8
+    X0b = jnp.asarray(np.stack([X0] * B))
+    measb = jnp.asarray(np.stack([meas] * B))
+    wb = jnp.asarray(np.stack([w] * B))
+    mesh = mesh_lib.make_mesh(8, model_size=2)
+    X0s, meass, ws = mesh_lib.shard_batch(mesh, X0b, measb, wb)
+
+    def batched(a, b, c):
+        return jax.vmap(
+            lambda x, m, ww: fte_solve(h, x, m, ww, cfg, hj_parts_fn=hj_parts)[1]["cost"]
+        )(a, b, c)
+
+    with mesh:
+        costs = jax.jit(batched)(X0s, meass, ws)
+        costs.block_until_ready()
+    c_single = float(info_single["cost"])
+    for b in range(B):
+        assert abs(float(costs[b]) - c_single) < 0.02 * c_single + 1e-6, (
+            b, float(costs[b]), c_single
+        )
