@@ -223,6 +223,128 @@ def fk25(x25):
     return fk(expand_pose(x25))
 
 
+def _jac_static_tables():
+    """Static masks for the analytic FK Jacobian.
+
+    Returns (angle_specs, seg_mask (L, L), anc_mask (L, A), col_idx (A,)):
+    angle_specs lists the 22 active angle params as (kind, joint);
+    seg_mask[m, s] = segment s (one per marker) lies on marker m's chain;
+    anc_mask[s, a] = angle a's joint is an ancestor-of-or-equal-to the
+    frame joint of segment s; col_idx maps angle a to its dense-25 column.
+    """
+    pp = get_pose_params()
+    angle_specs = []
+    col_idx = []
+    for name, col in pp.items():
+        if name in ("x_0", "y_0", "z_0"):
+            continue
+        kind, j = name.split("_")
+        angle_specs.append((kind, int(j)))
+        col_idx.append(col)
+
+    parents = [spec[0] for spec in JOINTS.values()]
+
+    def joint_chain(j):
+        out = []
+        while j >= 0:
+            out.append(j)
+            j = parents[j]
+        return out
+
+    L = N_MARKERS
+    seg_mask = np.zeros((L, L))
+    for m in range(L):
+        s = m
+        while s >= 0:
+            seg_mask[m, s] = 1.0
+            s = MARKER_SPECS[s][1]  # base marker index (-1 = root)
+
+    A = len(angle_specs)
+    anc_mask = np.zeros((L, A))
+    for s in range(L):
+        anc = set(joint_chain(MARKER_SPECS[s][2]))
+        for a, (_kind, j) in enumerate(angle_specs):
+            if j in anc:
+                anc_mask[s, a] = 1.0
+    return angle_specs, seg_mask, anc_mask, np.array(col_idx)
+
+
+_JAC_ANGLES, _JAC_SEG_MASK, _JAC_ANC_MASK, _JAC_COLS = _jac_static_tables()
+#: combined (L, L, A) mask: marker m sums segment s under angle a
+_JAC_MSA = np.einsum("ms,sa->msa", _JAC_SEG_MASK, _JAC_ANC_MASK)
+
+
+def fk25_and_jac(x25):
+    """FK positions AND the analytic (20, 3, 25) Jacobian in one pass.
+
+    Equal to (fk25(x), jax.jacfwd(fk25)(x)) but ~10x cheaper on TPU: the
+    jacfwd pushes 25 tangents through every FK op, while analytically
+    each Euler angle alpha at joint a rotates everything below it about
+    a fixed world axis omega_alpha, so
+        d(R_f^T off)/d alpha = (R_f^T off) x omega_alpha
+    (omega depends only on a: theta -> R_par^T y_hat, psi -> R_a^T z_hat,
+    phi -> R_par^T Ry(theta)^T x_hat), and the full Jacobian is one
+    static-mask einsum over the already-computed segment vectors plus one
+    cross product. Verified against jacfwd in tests/test_cheetah_model.py.
+    """
+    x25 = jnp.asarray(x25)
+    dtype = x25.dtype
+    x45 = expand_pose(x25)
+    phi = x45[3 : 3 + N_JOINTS]
+    theta = x45[3 + N_JOINTS : 3 + 2 * N_JOINTS]
+    psi = x45[3 + 2 * N_JOINTS :]
+
+    eye3 = jnp.eye(3, dtype=dtype)
+    R = []  # inertial->joint DCMs
+    Rpar = []  # parent DCM per joint (identity at roots)
+    for j, (_name, (parent, has_phi, has_theta, has_psi)) in enumerate(JOINTS.items()):
+        Rl = _local_rotation(has_phi, has_theta, has_psi, phi[j], theta[j], psi[j])
+        Rp = eye3 if parent < 0 else R[parent]
+        Rpar.append(Rp)
+        R.append(Rl @ Rp)
+
+    # segment world vectors v_s = R_f^T off and positions
+    positions = []
+    segs = []
+    root = x45[:3]
+    for _name, base_idx, frame_j, offset in MARKER_SPECS:
+        off = jnp.asarray(offset, dtype=dtype)
+        v = R[frame_j].T @ off
+        segs.append(v)
+        base = root if base_idx < 0 else positions[base_idx]
+        positions.append(base + v)
+    pts = jnp.stack(positions)  # (L, 3)
+    V = jnp.stack(segs)  # (L, 3)
+
+    # world rotation axes per active angle
+    xhat = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    yhat = jnp.asarray([0.0, 1.0, 0.0], dtype)
+    zhat = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    omegas = []
+    for kind, j in _JAC_ANGLES:
+        if kind == "theta":
+            omegas.append(Rpar[j].T @ yhat)
+        elif kind == "psi":
+            omegas.append(R[j].T @ zhat)
+        else:  # phi
+            omegas.append(Rpar[j].T @ (rot_y(theta[j]).T @ xhat))
+    W = jnp.stack(omegas)  # (A, 3)
+
+    msa = jnp.asarray(_JAC_MSA, dtype)  # (L, L, A) static mask
+    T = jnp.einsum("msa,sx->max", msa, V)  # (L, A, 3)
+    # frame (passive) rotations: dR/dtheta = -S R, so omega x v, not v x omega
+    Jang = jnp.cross(W[None, :, :], T)  # (L, A, 3)
+    Jang = jnp.swapaxes(Jang, 1, 2)  # (L, 3, A)
+
+    J = jnp.zeros((N_MARKERS, 3, N_ACTIVE), dtype)
+    J = J.at[:, :, jnp.asarray(_JAC_COLS)].set(Jang)
+    # root translation: identity for every marker
+    pp = get_pose_params()
+    root_cols = jnp.asarray([pp["x_0"], pp["y_0"], pp["z_0"]])
+    J = J.at[:, :, root_cols].set(jnp.broadcast_to(eye3, (N_MARKERS, 3, 3)))
+    return pts, J
+
+
 # --------------------------------------------------------------------------
 # Joint limits (FTE pose constraints, src/all_optimizations.py:401-483)
 # --------------------------------------------------------------------------

