@@ -65,41 +65,45 @@ def make_h_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
 def make_hj_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
     """Fused (pixels, Jacobian) for one pose, via the chain rule.
 
-    J = J_proj(points) @ J_fk(pose): the FK Jacobian takes all 25
-    tangents through the (cheap) kinematic chain only, and the
-    projection Jacobian is taken w.r.t. just the 3 point coordinates —
-    avoiding 25 tangent passes through the camera model that a plain
-    jacfwd of the composition would do. Returns (h (C*L*2,), J
-    (C*L*2, 25)) for `trajopt.fte_solve(hj_fn=...)`.
+    J = J_proj(points) @ J_fk(pose): the FK Jacobian is analytic
+    (cheetah.fk25_and_jac) and the projection Jacobian comes from 3
+    linearized passes (see make_hj_parts_fn) — no tangent ever flows
+    through the camera model per pose parameter. Returns (h (C*L*2,),
+    J (C*L*2, 25)) for `trajopt.fte_solve(hj_fn=...)` and
+    `solvers.ekf.run_ekf(hj_fn=...)`.
     """
-    k = jnp.asarray(k_arr, dtype)
-    d = jnp.asarray(d_arr, dtype).reshape(k.shape[0], -1)[:, :4]
-    r = jnp.asarray(r_arr, dtype)
-    t = jnp.asarray(t_arr, dtype).reshape(k.shape[0], 3)
-    C = k.shape[0]
+    C = np.asarray(k_arr).shape[0]
     L = cheetah.N_MARKERS
-
-    fk_and_jac = cheetah.fk25_and_jac  # analytic geometric Jacobian
-
-    def proj_all(pts):  # (L, 3) -> (C, L, 2)
-        return jax.vmap(
-            lambda K, D, R, T: cam_ops.project_points_fisheye(pts, K, D, R, T)
-        )(k, d, r, t)
-
-    jac_proj = jax.jacfwd(
-        lambda pt, K, D, R, T: cam_ops.project_points_fisheye(pt, K, D, R, T)
-    )  # (2, 3) per point
+    parts = make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr, dtype)
 
     def hj(pose25):
-        pts, Jfk = fk_and_jac(pose25)  # (L,3), (L,3,25)
-        h = proj_all(pts)  # (C, L, 2)
-        Jp = jax.vmap(
-            lambda K, D, R, T: jax.vmap(lambda p: jac_proj(p, K, D, R, T))(pts)
-        )(k, d, r, t)  # (C, L, 2, 3)
+        h, Jp, Jfk = parts(pose25)
         J = jnp.einsum("clij,ljk->clik", Jp, Jfk)  # (C, L, 2, 25)
-        return h.reshape(-1), J.reshape(C * L * 2, -1)
+        return h, J.reshape(C * L * 2, -1)
 
     return hj
+
+
+def hj_parts_aux(pose25, aux):
+    """Aux-parameterized twin of make_hj_parts_fn for batched rigs:
+    ``aux = (K, D, R, T)`` rides along as traced per-trajectory camera
+    parameters (pipeline.sweep vmaps over it). Returns
+    (h (C*L*2,), Jp (C, L, 2, 3), Jfk (L, 3, 25))."""
+    K, D, R, T = aux
+    pts, Jfk = cheetah.fk25_and_jac(pose25)
+
+    def proj_all(p):
+        return jax.vmap(
+            lambda k, d, r, t: cam_ops.project_points_fisheye(p, k, d, r, t)
+        )(K, D, R, T)
+
+    h, lin = jax.linearize(proj_all, pts)
+    cols = [
+        lin(jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype)[axis], pts.shape))
+        for axis in range(3)
+    ]
+    Jp = jnp.stack(cols, axis=-1)  # (C, L, 2, 3)
+    return h.reshape(-1), Jp, Jfk
 
 
 def make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
@@ -185,6 +189,7 @@ def run_cheetah_ekf(
         jnp.asarray(P0, dtype),
         cheetah.EKF_QB,
         cfg,
+        hj_fn=make_hj_fn(k_arr, d_arr, r_arr, t_arr, dtype),
     )
     return {k: np.asarray(v) for k, v in out.items()}
 

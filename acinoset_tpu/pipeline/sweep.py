@@ -112,10 +112,12 @@ def _cached_batch_solver(cfg, dtype):
     if key not in _SOLVER_CACHE:
         h = _h_fn_aux(dtype)
 
+        from .ekf import hj_parts_aux
+
         def batched(X0, meas, w, aux, nv):
             return jax.vmap(
                 lambda a, b, c, x, n: trajopt.fte_solve(
-                    h, a, b, c, cfg, aux=x, n_valid=n
+                    h, a, b, c, cfg, aux=x, n_valid=n, hj_parts_fn=hj_parts_aux
                 )[0]
             )(X0, meas, w, aux, nv)
 
@@ -291,11 +293,19 @@ def solve_batch_ekf(
 
     from dataclasses import replace as dc_replace
 
+    from .ekf import hj_parts_aux
+
     def one(pix, lik, x0, auxi, mpe_i):
+        def hj(p):
+            hh, Jp, Jfk = hj_parts_aux(p, auxi)
+            J = jnp.einsum("clij,ljk->clik", Jp, Jfk)
+            return hh, J.reshape(hh.shape[0], -1)
+
         return ekf_solver.run_ekf(
             lambda p: h_aux(p, auxi), pix, lik,
             x0, jnp.asarray(P0, dtype), cheetah.EKF_QB,
             dc_replace(cfg, max_pixel_err=mpe_i),
+            hj_fn=hj,
         )
 
     out = jax.jit(jax.vmap(one))(

@@ -77,6 +77,7 @@ def run_ekf(
     P0: jnp.ndarray,
     qb_std: np.ndarray,
     config: EkfConfig,
+    hj_fn=None,
 ):
     """Run EKF + RTS smoother.
 
@@ -87,6 +88,9 @@ def run_ekf(
       x0: (3*n_pose,) initial state. P0: initial covariance.
       qb_std: (n_pose,) per-DoF process std list (reference qb_list).
       config: EkfConfig.
+      hj_fn: optional fused pose -> (h (m,), J (m, n_pose)) measurement
+        evaluation (e.g. pipeline.ekf.make_hj_fn with the analytic FK
+        Jacobian); defaults to jacfwd of h_fn.
 
     Returns dict with states/covariances: x, dx, ddx and smoothed_*,
     plus 'outliers' (total gated pairs). Shapes (N, n_pose) etc.
@@ -99,7 +103,9 @@ def run_ekf(
 
     F = constant_acc_F(n_pose, config.dt, dtype)
     Q = jnp.asarray(constant_acc_Q(qb_std, config.dt), dtype)
-    jac_h = jax.jacfwd(lambda p: h_fn(p).reshape(-1))
+    if hj_fn is None:
+        _jac = jax.jacfwd(lambda p: h_fn(p).reshape(-1))
+        hj_fn = lambda p: (h_fn(p).reshape(-1), _jac(p))  # noqa: E731
 
     def step(carry, inp):
         x, P = carry
@@ -111,8 +117,7 @@ def run_ekf(
 
         # measure
         pose = x_pred[:n_pose]
-        h = h_fn(pose).reshape(-1)
-        Hp = jac_h(pose)  # (m, n_pose)
+        h, Hp = hj_fn(pose)  # (m,), (m, n_pose)
         H = jnp.concatenate([Hp, jnp.zeros((m, n_states - n_pose), dtype)], axis=1)
 
         trusted = jnp.repeat((lik > config.dlc_thresh).reshape(-1), 2)

@@ -35,6 +35,7 @@ def main():
     from acinoset_tpu.models import cheetah
     from acinoset_tpu.ops import camera as cam_ops
     from acinoset_tpu.pipeline.ekf import make_h_fn
+    from acinoset_tpu.pipeline.ekf import make_hj_fn, make_hj_parts_fn
     from acinoset_tpu.pipeline.fte import default_config, initial_trajectory
     from acinoset_tpu.solvers import ekf as ekf_solver
     from acinoset_tpu.solvers.lm import sba_points
@@ -86,8 +87,9 @@ def main():
     pixb = jnp.asarray(np.stack([px.transpose(1, 0, 2, 3)] * B), dtype)
     likb = jnp.asarray(np.stack([lik.transpose(1, 0, 2)] * B), dtype)
     x0b = jnp.asarray(np.stack([x0e] * B), dtype)
+    hj = make_hj_fn(k, d, r, t, dtype)
     ekf_f = jax.jit(
-        jax.vmap(lambda p, l, x: ekf_solver.run_ekf(h, p, l, x, P0, cheetah.EKF_QB, cfg_e)["smoothed_x"])
+        jax.vmap(lambda p, l, x: ekf_solver.run_ekf(h, p, l, x, P0, cheetah.EKF_QB, cfg_e, hj_fn=hj)["smoothed_x"])
     )
     dt = timeit(lambda: ekf_f(pixb, likb, x0b))
     rows.append(("EKF + RTS smoother", f"{B / dt:,.1f} runs/s ({B * N / dt:,.0f} frames/s)", f"B={B} runs x {N} frames"))
@@ -99,7 +101,8 @@ def main():
     X0b = jnp.asarray(np.stack([X0] * B), dtype)
     measb = jnp.asarray(np.stack([px.transpose(1, 0, 2, 3)] * B), dtype)
     wb = jnp.asarray(np.stack([w] * B), dtype)
-    fte_f = jax.jit(jax.vmap(lambda a, b2, c2: fte_solve(h, a, b2, c2, cfg)[0]))
+    hj_parts = make_hj_parts_fn(k, d, r, t, dtype)
+    fte_f = jax.jit(jax.vmap(lambda a, b2, c2: fte_solve(h, a, b2, c2, cfg, hj_parts_fn=hj_parts)[0]))
     dt = timeit(lambda: fte_f(X0b, measb, wb))
     rows.append(("FTE banded Gauss-Newton", f"{B / dt:,.1f} traj/s", f"B={B} x {N} frames, 40 GN iters"))
 
