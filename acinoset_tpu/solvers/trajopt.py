@@ -22,9 +22,13 @@ with D3 the third-difference stencil — a *banded* coupling in time.
 We solve it by damped Gauss-Newton with iteratively-reweighted
 redescending measurement weights (graduated: plain/Huber -> full
 redescending), joint limits by quadratic penalty + final clamp, and the
-banded normal equations factored by `solvers.banded` scans. `vmap` over
-trajectories batches every step onto the MXU — hundreds of trajectories
-solve in parallel per chip, where IPOPT solved one NLP per process.
+banded normal equations solved by spectrally-preconditioned CG by
+default (the separable model term is diagonalized exactly in a
+trace-time eigenbasis — `solvers.banded.pcg_solve`; direct banded
+factorizations from `solvers.banded`/`solvers.cyclic` remain available
+via `FteConfig.linear_solver`). `vmap` over trajectories batches every
+step onto the MXU — hundreds of trajectories solve in parallel per
+chip, where IPOPT solved one NLP per process.
 
 The objective evaluated for accept/reject is the reference's *actual*
 objective (redescending measurement loss + weighted model quadratic), so

@@ -24,7 +24,7 @@ def main():
     import jax.numpy as jnp
 
     from acinoset_tpu.parallel import mesh as mesh_lib
-    from acinoset_tpu.pipeline.ekf import make_h_fn
+    from acinoset_tpu.pipeline.ekf import make_h_fn, make_hj_parts_fn
     from acinoset_tpu.pipeline.fte import default_config, initial_trajectory
     from acinoset_tpu.utils import synthetic
 
@@ -32,7 +32,7 @@ def main():
     N = int(os.environ.get("BENCH_FRAMES", 100))
     iters = int(os.environ.get("BENCH_ITERS", 40))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
-    solvers = os.environ.get("BENCH_SOLVERS", "chol_unrolled,grouped,cg").split(",")
+    solvers = os.environ.get("BENCH_SOLVERS", "pcg,chol_unrolled,cg").split(",")
     dtype = jnp.float32
 
     cams = synthetic.ring_cameras(n_cams=6)
@@ -60,10 +60,11 @@ def main():
 
     from acinoset_tpu.models import cheetah
 
+    hj_parts = make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr, dtype)
     results = {}
     for name in solvers:
         cfg = replace(base_cfg, linear_solver=name)
-        solver = mesh_lib.sharded_fte_solver(mesh, h, cfg)
+        solver = mesh_lib.sharded_fte_solver(mesh, h, cfg, hj_parts_fn=hj_parts)
         with mesh:
             t0 = time.perf_counter()
             X = solver(X0s, meass, ws)
