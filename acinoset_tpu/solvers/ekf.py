@@ -155,22 +155,45 @@ def run_ekf(
         step, (x0, P0), (pixels, likelihood)
     )
 
-    # RTS smoother, backward scan (:839-845)
-    def smooth_step(carry, inp):
-        xs_next, Ps_next = carry
-        x_est, P_est, x_pred_next, P_pred_next = inp
-        # A = P_est F^T P_pred_next^-1 (solve instead of inv)
-        A = jnp.linalg.solve(P_pred_next.T, (P_est @ F.T).T).T
-        xs = x_est + A @ (xs_next - x_pred_next)
-        Ps = P_est + A @ (Ps_next - P_pred_next) @ A.T
-        return (xs, Ps), (xs, Ps)
+    # RTS smoother (:839-845), temporally parallelized: the backward
+    # recursion  xs_n = c_n + A_n xs_{n+1},  Ps_n = D_n + A_n Ps_{n+1} A_n^T
+    # is an affine map composed n -> n+1 -> ... -> N-1; affine maps form
+    # an associative monoid, so `lax.associative_scan` evaluates every
+    # suffix composition in log2(N) levels of batched (n, n) matmuls
+    # instead of an N-step sequential scan of native LU solves — and all
+    # smoother gains A_n come from ONE batched trace-time-unrolled
+    # Cholesky inverse (native linalg kernels are slow sequential loops
+    # on TPU; see CLAUDE.md perf rules).
+    from .banded import _chol_inv_unrolled
 
-    # iterate i = N-2 .. 0 using predictions at i+1
-    init = (x_est_h[-1], P_est_h[-1])
-    inputs = (x_est_h[:-1], P_est_h[:-1], x_pred_h[1:], P_pred_h[1:])
-    (_, _), (xs_rev, Ps_rev) = jax.lax.scan(smooth_step, init, inputs, reverse=True)
-    x_smooth = jnp.concatenate([xs_rev, x_est_h[-1:]], axis=0)
-    P_smooth = jnp.concatenate([Ps_rev, P_est_h[-1:]], axis=0)
+    P_pred_next = P_pred_h[1:]  # (N-1, n, n)
+    _Lc, Linv = _chol_inv_unrolled(P_pred_next)
+    P_pred_inv = jnp.swapaxes(Linv, -1, -2) @ Linv
+    A = P_est_h[:-1] @ F.T @ P_pred_inv  # smoother gains, all n at once
+    c = x_est_h[:-1] - jnp.einsum("nij,nj->ni", A, x_pred_h[1:])
+    D = P_est_h[:-1] - A @ P_pred_next @ jnp.swapaxes(A, -1, -2)
+
+    # terminal element: the constant map X -> x_est_{N-1}
+    A_all = jnp.concatenate([A, jnp.zeros((1, n_states, n_states), dtype)])
+    c_all = jnp.concatenate([c, x_est_h[-1:]])
+    D_all = jnp.concatenate([D, P_est_h[-1:]])
+
+    def compose(g, f):
+        """(f o g)(x) = f(g(x)): under reverse=True the scan passes the
+        *later* suffix element first, so combine(g=later, f=earlier)
+        must apply the earlier map last (verified vs a sequential fold
+        in tests/test_ekf_oracle.py)."""
+        Af, cf, Df = f
+        Ag, cg, Dg = g
+        return (
+            Af @ Ag,
+            cf + jnp.einsum("...ij,...j->...i", Af, cg),
+            Df + Af @ Dg @ jnp.swapaxes(Af, -1, -2),
+        )
+
+    _As, x_smooth, P_smooth = jax.lax.associative_scan(
+        compose, (A_all, c_all, D_all), reverse=True
+    )
 
     v, a = n_pose, 2 * n_pose
     return dict(
