@@ -11,7 +11,9 @@ Differences by design (documented, all strictly better on TPU):
     instead of forward finite differences with eps=1e-3 (:634-649);
   * the time loop is `lax.scan` (one compiled program, vmap-able over
     runs) instead of a Python loop;
-  * S is factorized with Cholesky instead of explicit `np.linalg.inv`;
+  * the gain is computed in information form (Woodbury: two n_states
+    trace-time-unrolled Cholesky inverses) instead of factorizing the
+    m x m innovation matrix with native kernels;
   * NaN measurements (absent rows) are masked to zero residual with
     untrusted-noise weighting, where the reference would propagate NaN.
 """
@@ -24,6 +26,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .banded import _chol_inv_unrolled
 from ..utils.precision import f32_matmuls
 
 
@@ -99,7 +103,6 @@ def run_ekf(
     N, C, L, _ = pixels.shape
     n_pose = x0.shape[0] // 3
     n_states = 3 * n_pose
-    m = C * L * 2
 
     F = constant_acc_F(n_pose, config.dt, dtype)
     Q = jnp.asarray(constant_acc_Q(qb_std, config.dt), dtype)
@@ -115,10 +118,10 @@ def run_ekf(
         x_pred = predict_next_state(x, config.dt, n_pose)
         P_pred = F @ P @ F.T + Q
 
-        # measure
+        # measure (H = [Hp | 0] is never materialized — every product
+        # below factors through the pose block)
         pose = x_pred[:n_pose]
         h, Hp = hj_fn(pose)  # (m,), (m, n_pose)
-        H = jnp.concatenate([Hp, jnp.zeros((m, n_states - n_pose), dtype)], axis=1)
 
         trusted = jnp.repeat((lik > config.dlc_thresh).reshape(-1), 2)
         sigma = jnp.where(trusted, config.meas_std_px, config.max_pixel_err)
@@ -129,24 +132,39 @@ def run_ekf(
         residual = jnp.where(missing, 0.0, residual)
         Rdiag = jnp.where(missing, config.max_pixel_err**2, Rdiag)
 
-        S = H @ P_pred @ H.T + jnp.diag(Rdiag)
-        # 3-sigma gating per (x, y) pair (:817-823)
-        gate = config.sigma_bound * jnp.sqrt(jnp.diag(S))
+        # 3-sigma gating per (x, y) pair (:817-823) — needs only diag(S):
+        # S = H P H^T + R and H = [Hp | 0], so diag(S) touches the
+        # pose-pose covariance block only
+        Ppp = P_pred[:n_pose, :n_pose]
+        diagS = jnp.einsum("mi,ij,mj->m", Hp, Ppp, Hp) + Rdiag
+        gate = config.sigma_bound * jnp.sqrt(diagS)
         over = jnp.abs(residual) > gate
         pair_over = over.reshape(-1, 2).any(axis=1)
         gated = jnp.repeat(pair_over, 2)
         residual = jnp.where(gated, 0.0, residual)
         n_outliers = pair_over.sum()
 
-        # update via Cholesky: K = P H^T S^-1
-        chol = jnp.linalg.cholesky(S)
-        PHt = P_pred @ H.T
-        K = jax.scipy.linalg.cho_solve((chol, True), PHt.T).T
-        x_est = x_pred + K @ residual
+        # Information-form gain (identical math to K = P H^T S^-1 for
+        # diagonal R, via the Woodbury identity K = M^-1 H^T R^-1 with
+        # M = P^-1 + H^T R^-1 H): the m x m (=240^2) innovation Cholesky
+        # native kernel is replaced by two n_states-sized trace-time-
+        # unrolled Cholesky inverses, and K itself is never materialized:
+        #   x_est = x_pred + W (H^T R^-1 r)        (W = M^-1)
+        #   I-KH  = I - W G;   K R K^T = W G W^T   (G = H^T R^-1 H)
+        Rinv = 1.0 / Rdiag
+        HtRr = jnp.zeros((n_states,), dtype).at[:n_pose].set(Hp.T @ (Rinv * residual))
+        Gp = jnp.einsum("mi,m,mj->ij", Hp, Rinv, Hp)
+        G = jnp.zeros((n_states, n_states), dtype).at[:n_pose, :n_pose].set(Gp)
+        _Lp, PiL = _chol_inv_unrolled(P_pred)
+        P_inv = PiL.T @ PiL
+        M = P_inv + G
+        _Lm, MiL = _chol_inv_unrolled(M)
+        W = MiL.T @ MiL
+        x_est = x_pred + W @ HtRr
         # Joseph-form covariance update: PSD-preserving and stable in
         # float32 (the reference's (I-KH)P form slowly diverges there)
-        IKH = jnp.eye(n_states, dtype=dtype) - K @ H
-        P_est = IKH @ P_pred @ IKH.T + (K * Rdiag[None, :]) @ K.T
+        IKH = jnp.eye(n_states, dtype=dtype) - W @ G
+        P_est = IKH @ P_pred @ IKH.T + W @ G @ W.T
         P_est = 0.5 * (P_est + P_est.T)
 
         return (x_est, P_est), (x_pred, P_pred, x_est, P_est, n_outliers)
@@ -164,8 +182,6 @@ def run_ekf(
     # smoother gains A_n come from ONE batched trace-time-unrolled
     # Cholesky inverse (native linalg kernels are slow sequential loops
     # on TPU; see CLAUDE.md perf rules).
-    from .banded import _chol_inv_unrolled
-
     P_pred_next = P_pred_h[1:]  # (N-1, n, n)
     _Lc, Linv = _chol_inv_unrolled(P_pred_next)
     P_pred_inv = jnp.swapaxes(Linv, -1, -2) @ Linv
