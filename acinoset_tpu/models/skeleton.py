@@ -58,6 +58,9 @@ class SkeletonModel:
     dofs: Dict[str, List[int]]
     #: indices into the pose vector that actually influence the FK
     active_idx: np.ndarray = field(default_factory=lambda: np.zeros(0, int))
+    #: analytic (pts, J (n_markers, 3, n_pose)) — compat="tpu" only;
+    #: equal to jax.jacfwd(fk) at machine precision
+    fk_and_jac: Callable = None
 
     @property
     def n_markers(self) -> int:
@@ -165,6 +168,145 @@ def build_skeleton_model(
         if hz:
             active.append(3 + 2 * L + i)
 
+    # ---- analytic geometric Jacobian (compat="tpu" only): same identity
+    # as models.cheetah.fk25_and_jac — with frame (passive) rotations,
+    # each Euler angle alpha at part j rotates everything below it about
+    # a world axis that depends only on j:
+    #   d(R_a^T off)/d alpha = omega_alpha x (R_a^T off),  for j an
+    #   ancestor-or-self of the segment's frame part a, with
+    #   omega_theta = R_par(j)^T y,  omega_psi = R_j^T z,
+    #   omega_phi = R_par(j)^T Ry(theta_j)^T x.
+    # The full Jacobian is then one static-mask einsum over the FK's own
+    # segment vectors plus one cross product. (The reference-compat FK's
+    # flip-flopped rotation bookkeeping breaks the chain structure this
+    # relies on — that mode keeps jacfwd.)
+    parent_of: Dict[str, str] = {}
+    seg_child: List[str] = []  # one segment per linked child part
+    seg_frame: List[str] = []
+    seg_off: List[np.ndarray] = []
+    is_tree = True
+    for link in links:
+        if len(link) != 2:
+            continue
+        a, b = link
+        if b in parent_of:
+            # a part with two parents (e.g. the shipped human's hip1):
+            # the builder then composes BOTH parents' rotations into the
+            # part's frame, so an ancestor angle can appear through two
+            # paths and the single-axis identity below no longer holds —
+            # such skeletons keep jacfwd
+            is_tree = False
+        parent_of[b] = a
+        seg_child.append(b)
+        seg_frame.append(a)
+        seg_off.append(positions[b] - positions[a])
+    seg_id = {c: i for i, c in enumerate(seg_child)}
+    S = len(seg_child)
+
+    def part_chain(p):  # segments from part p up to the root
+        out = []
+        while p in seg_id:
+            out.append(seg_id[p])
+            p = parent_of[p]
+        return out
+
+    angle_specs = []  # (kind, part name, pose column)
+    for p in parts:
+        i = part_idx[p]
+        hx, hy, hz = dofs[p]
+        if hx:
+            angle_specs.append(("phi", p, 3 + i))
+        if hy:
+            angle_specs.append(("theta", p, 3 + L + i))
+        if hz:
+            angle_specs.append(("psi", p, 3 + 2 * L + i))
+    Acnt = len(angle_specs)
+    Rrows = len(row_order)
+
+    def anc_or_self(part):  # the part and all its link ancestors
+        out = {part}
+        while part in parent_of:
+            part = parent_of[part]
+            out.add(part)
+        return out
+
+    msa = np.zeros((Rrows, S, Acnt))
+    for ri, name in enumerate(row_order):
+        for s in part_chain(name):
+            frame_anc = anc_or_self(seg_frame[s])
+            for ai, (_k, p, _c) in enumerate(angle_specs):
+                if p in frame_anc:
+                    msa[ri, s, ai] = 1.0
+    angle_cols = np.asarray([c for _k, _p, c in angle_specs], int)
+
+    def fk_and_jac(x):
+        x = jnp.asarray(x)
+        dtype = x.dtype
+        root = x[:3]
+        phi = x[3 : 3 + L]
+        theta = x[3 + L : 3 + 2 * L]
+        psi = x[3 + 2 * L :]
+        eye3 = jnp.eye(3, dtype=dtype)
+
+        rot: Dict[str, jnp.ndarray] = {}
+        for p in parts:
+            i = part_idx[p]
+            R = eye3
+            hx, hy, hz = dofs[p]
+            if hy:
+                R = rot_y(theta[i]) @ R
+            if hx:
+                R = rot_x(phi[i]) @ R
+            if hz:
+                R = rot_z(psi[i]) @ R
+            rot[p] = R
+
+        pose: Dict[str, jnp.ndarray] = {}
+        Rpar: Dict[str, jnp.ndarray] = {p: eye3 for p in parts}
+        segs: List[jnp.ndarray] = [None] * S
+        for link in links:
+            if len(link) == 1:
+                pose[link[0]] = root
+                continue
+            a, b = link
+            if a not in pose:
+                pose[a] = root
+            off = jnp.asarray(positions[b] - positions[a], dtype=dtype)
+            parent_acc = rot[a]
+            Rpar[b] = parent_acc
+            rot[b] = rot[b] @ parent_acc
+            v = parent_acc.T @ off
+            segs[seg_id[b]] = v
+            pose[b] = pose[a] + v
+
+        pts = jnp.stack([pose.get(name, root) for name in row_order])
+        V = jnp.stack(segs) if S else jnp.zeros((0, 3), dtype)
+
+        xhat = jnp.asarray([1.0, 0.0, 0.0], dtype)
+        yhat = jnp.asarray([0.0, 1.0, 0.0], dtype)
+        zhat = jnp.asarray([0.0, 0.0, 1.0], dtype)
+        omegas = []
+        for kind, p, _c in angle_specs:
+            i = part_idx[p]
+            if kind == "theta":
+                omegas.append(Rpar[p].T @ yhat)
+            elif kind == "psi":
+                omegas.append(rot[p].T @ zhat)
+            else:  # phi
+                ax = rot_y(theta[i]).T @ xhat if dofs[p][1] else xhat
+                omegas.append(Rpar[p].T @ ax)
+        W = jnp.stack(omegas) if Acnt else jnp.zeros((0, 3), dtype)
+
+        T = jnp.einsum("rsa,sx->rax", jnp.asarray(msa, dtype), V)
+        Jang = jnp.swapaxes(jnp.cross(W[None, :, :], T), 1, 2)  # (R, 3, A)
+        J = jnp.zeros((Rrows, 3, n_pose), dtype)
+        if Acnt:
+            J = J.at[:, :, jnp.asarray(angle_cols)].set(Jang)
+        J = J.at[:, :, jnp.asarray([0, 1, 2])].set(
+            jnp.broadcast_to(eye3, (Rrows, 3, 3))
+        )
+        return pts, J
+
     # measurement labels: the markers list (data-loading order). In
     # reference-compat mode FK rows are in pose-dict order while the
     # measurements stay in markers-list order — positional association
@@ -177,6 +319,7 @@ def build_skeleton_model(
         markers=(markers if markers else row_order),
         dofs=dofs,
         active_idx=np.asarray(sorted(active)),
+        fk_and_jac=(fk_and_jac if (compat == "tpu" and is_tree) else None),
     )
 
 

@@ -38,6 +38,38 @@ def make_h_fn_generic(model: SkeletonModel, k_arr, d_arr, r_arr, t_arr, dtype=jn
     return h
 
 
+def make_hj_parts_fn_generic(model: SkeletonModel, k_arr, d_arr, r_arr, t_arr,
+                             dtype=jnp.float64):
+    """Unassembled chain-rule measurement Jacobian for the generic
+    skeleton (see trajopt.fte_solve / pipeline.ekf.make_hj_parts_fn):
+    analytic FK Jacobian + 3 linearized projection passes. Returns None
+    when the skeleton has no analytic Jacobian (reference-compat mode or
+    non-tree link graphs) — callers then fall back to jacfwd."""
+    if model.fk_and_jac is None:
+        return None
+    k = jnp.asarray(k_arr, dtype)
+    d = jnp.asarray(d_arr, dtype).reshape(k.shape[0], -1)[:, :4]
+    r = jnp.asarray(r_arr, dtype)
+    t = jnp.asarray(t_arr, dtype).reshape(k.shape[0], 3)
+
+    def proj_all(pts):
+        return jax.vmap(
+            lambda K, D, R, T: cam_ops.project_points_fisheye(pts, K, D, R, T)
+        )(k, d, r, t)
+
+    def hj_parts(pose):
+        pts, Jfk = model.fk_and_jac(pose)  # (L,3), (L,3,n_pose)
+        h, lin = jax.linearize(proj_all, pts)
+        cols = [
+            lin(jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype)[axis], pts.shape))
+            for axis in range(3)
+        ]
+        Jp = jnp.stack(cols, axis=-1)  # (C, L, 2, 3)
+        return h.reshape(-1), Jp, Jfk
+
+    return hj_parts
+
+
 def generic_config(
     model: SkeletonModel,
     fps: float,
@@ -113,8 +145,9 @@ def fte_generic_run(
         if m in model.markers:
             w[:, :, model.markers.index(m)] = 0.0
 
+    hj_parts = make_hj_parts_fn_generic(model, k_arr, d_arr, r_arr, t_arr, dtype)
     X, info = jax.jit(
-        lambda a, b, c: trajopt.fte_solve(h_fn, a, b, c, cfg)
+        lambda a, b, c: trajopt.fte_solve(h_fn, a, b, c, cfg, hj_parts_fn=hj_parts)
     )(jnp.asarray(X0, dtype), meas, jnp.asarray(w, dtype))
 
     positions = np.asarray(jax.vmap(model.fk)(X))

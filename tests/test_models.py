@@ -182,3 +182,37 @@ def test_generic_skeleton_cheetah_pickle():
     lo, hi = generic_pose_limits(model)
     assert lo.shape == (model.n_pose,)
     assert np.all(np.isinf(lo[:3]))
+
+
+def test_skeleton_analytic_jacobian():
+    """Tree skeletons get an analytic FK Jacobian equal to jacfwd at
+    machine precision; multi-parent skeletons (the shipped human's
+    double-parent hip1) and reference-compat mode fall back to None."""
+    import glob
+    import pickle
+
+    import jax
+
+    from acinoset_tpu.models.skeleton import build_skeleton_model
+
+    rng = np.random.default_rng(3)
+    with open("/root/reference/skeletons/cheetah.pickle", "rb") as f:
+        sd = pickle.load(f)
+    m = build_skeleton_model(sd)
+    assert m.fk_and_jac is not None
+    for _ in range(3):
+        x = jnp.asarray(rng.normal(scale=0.5, size=m.n_pose))
+        np.testing.assert_allclose(
+            np.asarray(m.fk_and_jac(x)[0]), np.asarray(m.fk(x)), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(m.fk_and_jac(x)[1]), np.asarray(jax.jacfwd(m.fk)(x)),
+            atol=1e-12,
+        )
+
+    with open("/root/reference/skeletons/human.pickle", "rb") as f:
+        hd = pickle.load(f)
+    mh = build_skeleton_model(hd)
+    assert mh.fk_and_jac is None  # hip1 has two parents — not a tree
+    mref = build_skeleton_model(sd, compat="reference")
+    assert mref.fk_and_jac is None
