@@ -102,7 +102,8 @@ def test_sharded_pcg_cost_parity():
     from acinoset_tpu.pipeline.ekf import make_hj_parts_fn
     from acinoset_tpu.solvers.trajopt import fte_solve
 
-    _cfg6, h, X0, meas, w = _fte_problem(n_cams=4)
+    _cfg_unused, h, X0, meas, w = _fte_problem(n_cams=4)
+    del _cfg_unused
     from acinoset_tpu.pipeline.fte import default_config
 
     # near convergence (mid-descent costs are path-dependent: one flipped
