@@ -241,6 +241,42 @@ def solve_batch(
     return results
 
 
+_EKF_SOLVER_CACHE: Dict = {}
+
+
+def _cached_batch_ekf_solver(cfg, N, C, dtype_str, p0_bytes):
+    """Jitted batched EKF solver, cached by (config, padded shapes) so
+    repeated sweep() calls in one process re-trace nothing (the FTE
+    stage has the same cache; re-jitting a fresh closure per call would
+    recompile the whole scan+smoother program)."""
+    key = (cfg, N, C, dtype_str, p0_bytes)
+    if key not in _EKF_SOLVER_CACHE:
+        from dataclasses import replace as dc_replace
+
+        from ..solvers import ekf as ekf_solver
+        from .ekf import hj_parts_aux
+
+        dtype = jnp.float32 if "32" in dtype_str else jnp.float64
+        P0 = np.frombuffer(p0_bytes).reshape(3 * cheetah.N_ACTIVE, -1)
+        h_aux = _h_fn_aux(dtype)
+
+        def one(pix, lik, x0, auxi, mpe_i):
+            def hj(p):
+                hh, Jp, Jfk = hj_parts_aux(p, auxi)
+                J = jnp.einsum("clij,ljk->clik", Jp, Jfk)
+                return hh, J.reshape(hh.shape[0], -1)
+
+            return ekf_solver.run_ekf(
+                lambda p: h_aux(p, auxi), pix, lik,
+                x0, jnp.asarray(P0, dtype), cheetah.EKF_QB,
+                dc_replace(cfg, max_pixel_err=mpe_i),
+                hj_fn=hj,
+            )
+
+        _EKF_SOLVER_CACHE[key] = jax.jit(jax.vmap(one))
+    return _EKF_SOLVER_CACHE[key]
+
+
 def solve_batch_ekf(
     runs: Sequence[RunData],
     dlc_thresh: float,
@@ -289,26 +325,8 @@ def solve_batch_ekf(
         x0_b.append(x0)
 
     aux = tuple(np.stack([c[j] for c in aux_b]) for j in range(4))
-    h_aux = _h_fn_aux(dtype)
 
-    from dataclasses import replace as dc_replace
-
-    from .ekf import hj_parts_aux
-
-    def one(pix, lik, x0, auxi, mpe_i):
-        def hj(p):
-            hh, Jp, Jfk = hj_parts_aux(p, auxi)
-            J = jnp.einsum("clij,ljk->clik", Jp, Jfk)
-            return hh, J.reshape(hh.shape[0], -1)
-
-        return ekf_solver.run_ekf(
-            lambda p: h_aux(p, auxi), pix, lik,
-            x0, jnp.asarray(P0, dtype), cheetah.EKF_QB,
-            dc_replace(cfg, max_pixel_err=mpe_i),
-            hj_fn=hj,
-        )
-
-    out = jax.jit(jax.vmap(one))(
+    out = _cached_batch_ekf_solver(cfg, N, C, str(dtype), P0.tobytes())(
         jnp.asarray(np.stack(pix_b), dtype),
         jnp.asarray(np.stack(lik_b), dtype),
         jnp.asarray(np.stack(x0_b), dtype),
