@@ -54,6 +54,14 @@ def main(argv=None):
     ps.add_argument("--dlc_thresh", type=float, default=0.8)
     ps.add_argument("--num_iters", type=int, default=60)
     ps.add_argument("--max_frames", type=int, default=None)
+    ps.add_argument("--stages", type=str, default="fte",
+                    help="comma list: fte,ekf")
+    ps.add_argument("--warm_start", action="store_true",
+                    help="initialize FTE from the batched EKF stage's "
+                    "smoothed poses (halves the GN iterations needed)")
+    ps.add_argument("--relinearize_every", type=int, default=1,
+                    help="lagged-Jacobian GN: refresh the measurement "
+                    "Jacobian every k iterations (1 = every)")
 
     pe = sub.add_parser("eval")
     pe.add_argument("--result", type=str, required=True)
@@ -149,6 +157,9 @@ def main(argv=None):
         run_sweep(
             args.root_dir, dlc_thresh=args.dlc_thresh,
             num_iters=args.num_iters, max_frames=args.max_frames,
+            stages=tuple(args.stages.split(",")),
+            warm_start=args.warm_start,
+            relinearize_every=args.relinearize_every,
         )
         return 0
 

@@ -90,6 +90,7 @@ def hj_parts_aux(pose25, aux):
     parameters (pipeline.sweep vmaps over it). Returns
     (h (C*L*2,), Jp (C, L, 2, 3), Jfk (L, 3, 25))."""
     K, D, R, T = aux
+    D = D.reshape(K.shape[0], -1)[:, :4]  # same d-normalization as make_hj_parts_fn
     pts, Jfk = cheetah.fk25_and_jac(pose25)
 
     def proj_all(p):

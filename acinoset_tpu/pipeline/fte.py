@@ -104,7 +104,8 @@ def fte_run(
     dx, ddx = trajopt.derivatives_from_trajectory(X, cfg.Ts)
     converged = bool(info["converged"])
     print(f"FTE solve: cost {float(info['cost0']):.1f} -> {float(info['cost']):.1f} "
-          f"({'converged' if converged else 'NOT converged — raise num_iters'})")
+          f"(grad_norm {float(info['grad_norm']):.3g}; "
+          f"{'converged' if converged else 'NOT converged — raise num_iters'})")
     return dict(
         positions=positions,
         x=np.asarray(X),
@@ -114,6 +115,7 @@ def fte_run(
         cost0=float(info["cost0"]),
         cost_history=np.asarray(info["cost_history"]),
         converged=converged,
+        grad_norm=float(info["grad_norm"]),
     )
 
 
@@ -158,6 +160,8 @@ def fte(
             start_frame=start0,
             cost_history=result["cost_history"], scene_fpath=scene_fpath,
             dlc_thresh=dlc_thresh,
+            cost=result["cost"], cost0=result["cost0"],
+            converged=result["converged"], grad_norm=result["grad_norm"],
         )
         app.save_optimised_cheetah(
             result["positions"], os.path.join(out_dir, "fte.pickle"), extra_data=states

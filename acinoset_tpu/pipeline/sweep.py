@@ -115,11 +115,18 @@ def _cached_batch_solver(cfg, dtype):
         from .ekf import hj_parts_aux
 
         def batched(X0, meas, w, aux, nv):
-            return jax.vmap(
-                lambda a, b, c, x, n: trajopt.fte_solve(
+            def one(a, b, c, x, n):
+                X, info = trajopt.fte_solve(
                     h, a, b, c, cfg, aux=x, n_valid=n, hj_parts_fn=hj_parts_aux
-                )[0]
-            )(X0, meas, w, aux, nv)
+                )
+                # per-run solver status rides out of the jit alongside X
+                # (the reference surfaced IPOPT's termination status)
+                return X, dict(
+                    cost=info["cost"], cost0=info["cost0"],
+                    converged=info["converged"], grad_norm=info["grad_norm"],
+                )
+
+            return jax.vmap(one)(X0, meas, w, aux, nv)
 
         _SOLVER_CACHE[key] = jax.jit(batched)
     return _SOLVER_CACHE[key]
@@ -138,6 +145,7 @@ def _cached_fk_batch():
 def _h_fn_aux(dtype):
     def h(pose25, aux):
         K, D, R, T = aux
+        D = D.reshape(K.shape[0], -1)[:, :4]  # same d-normalization as make_h_fn
         pts = cheetah.fk25(pose25)
         return jax.vmap(
             lambda k, d, r, t: cam_ops.project_points_fisheye(pts, k, d, r, t)
@@ -152,24 +160,50 @@ def solve_batch(
     num_iters: int = 60,
     mesh=None,
     dtype=jnp.float32,
+    X0_override: Optional[Sequence[np.ndarray]] = None,
+    relinearize_every: int = 1,
+    plain_iters: Optional[int] = None,
 ) -> List[Dict]:
-    """Solve a group of runs (same fps) as one sharded batched program."""
+    """Solve a group of runs (same fps) as one sharded batched program.
+
+    ``X0_override`` (optional, one (n_i, P) array per run — e.g. the
+    batched EKF stage's smoothed poses) replaces the TRI+linreg
+    cold-start initialization; rows beyond each run's length are held at
+    the last valid frame. ``relinearize_every`` forwards to
+    FteConfig (lagged/chord Gauss-Newton). ``plain_iters`` overrides the
+    graduated-robustness schedule (warm starts are already near the
+    optimum and gated for outliers, so they skip most of the plain
+    phase).
+    """
+    from dataclasses import replace as dc_replace
+
     fps = runs[0].fps
     N = max(r.pixels.shape[1] for r in runs)
     C = max(r.pixels.shape[0] for r in runs)
     cfg = default_config(fps, num_iters=num_iters)
+    if relinearize_every != 1:
+        cfg = dc_replace(cfg, relinearize_every=relinearize_every)
+    if plain_iters is not None:
+        cfg = dc_replace(cfg, plain_iters=plain_iters)
 
     pix_b, lik_b, cams_b, n_valid = [], [], [], []
     X0_b = []
-    for run in runs:
+    for i, run in enumerate(runs):
         pix, lik, cams, n0 = _pad_run(run, N, C)
-        # initialize on the PADDED shapes so all runs share one compiled
-        # triangulation program (per-run shapes would recompile per N)
-        X0 = initial_trajectory(
-            pix, lik, cams[0], cams[1], cams[2], cams[3],
-            np.arange(N), dlc_thresh,
-        )
-        X0[n0:] = X0[n0 - 1]  # hold the last valid frame through padding
+        if X0_override is not None:
+            Xw = np.asarray(X0_override[i], np.float64)
+            X0 = np.zeros((N, Xw.shape[1]))
+            X0[: len(Xw)] = Xw
+            X0[len(Xw):] = Xw[-1]  # hold the last frame through padding
+        else:
+            # initialize on the PADDED shapes so all runs share one
+            # compiled triangulation program (per-run shapes would
+            # recompile per N)
+            X0 = initial_trajectory(
+                pix, lik, cams[0], cams[1], cams[2], cams[3],
+                np.arange(N), dlc_thresh,
+            )
+            X0[n0:] = X0[n0 - 1]  # hold the last valid frame through padding
         pix_b.append(pix)
         lik_b.append(lik)
         cams_b.append(cams)
@@ -202,7 +236,7 @@ def solve_batch(
         (ap,), _ = mesh_lib.pad_batch([a], n_dev)
         aux_p.append(jax.device_put(jnp.asarray(ap, dtype), shard))
     (nvp,), _ = mesh_lib.pad_batch([np.asarray(n_valid, np.int32)], n_dev)
-    Xb = solver(
+    Xb, status = solver(
         jax.device_put(jnp.asarray(X0p, dtype), shard),
         jax.device_put(jnp.asarray(measp, dtype), shard),
         jax.device_put(jnp.asarray(wp, dtype), shard),
@@ -213,6 +247,7 @@ def solve_batch(
     # pay per-op dispatch through remote-attached accelerators)
     positions_b = np.asarray(_cached_fk_batch()(Xb[:B0]))
     Xb = np.asarray(Xb[:B0])
+    status = {k2: np.asarray(v) for k2, v in status.items()}
 
     results = []
     Ts = 1.0 / fps
@@ -236,6 +271,213 @@ def solve_batch(
                 ddx=ddx,
                 start_frame=run.start_frame,
                 scene_fpath=run.scene_fpath,
+                cost=float(status["cost"][i]),
+                cost0=float(status["cost0"][i]),
+                converged=bool(status["converged"][i]),
+                grad_norm=float(status["grad_norm"][i]),
+            )
+        )
+    return results
+
+
+def ekf_warm_starts(ekf_results: Sequence[Dict]) -> List[np.ndarray]:
+    """Extract per-run FTE initializations from a solve_batch_ekf result:
+    the RTS-smoothed pose block, one (n_i, P) array per run — the
+    reference pipeline's own stage order tri→sba→ekf→fte
+    (src/all_optimizations.py:950-983) makes this init free."""
+    return [np.asarray(r["states"]["smoothed_x"], np.float64) for r in ekf_results]
+
+
+def make_h_fn_aux_generic(fk):
+    """Aux-parameterized measurement fn for an arbitrary skeleton FK:
+    ``aux = (K, D, R, T)`` rides along as traced per-run camera
+    parameters (the generic twin of the module-level cheetah
+    ``_h_fn_aux``)."""
+
+    def h(pose, aux):
+        K, D, R, T = aux
+        D = D.reshape(K.shape[0], -1)[:, :4]
+        pts = fk(pose)
+        return jax.vmap(
+            lambda k, d, r, t: cam_ops.project_points_fisheye(pts, k, d, r, t)
+        )(K, D, R, T)
+
+    return h
+
+
+def make_hj_parts_aux_generic(fk_and_jac):
+    """Aux-parameterized unassembled chain-rule Jacobian for an arbitrary
+    skeleton (see pipeline.ekf.hj_parts_aux): analytic FK Jacobian + 3
+    linearized projection passes. Returns None when the skeleton has no
+    analytic Jacobian (reference-compat mode / non-tree link graphs) —
+    fte_solve then falls back to jacfwd."""
+    if fk_and_jac is None:
+        return None
+
+    def hj(pose, aux):
+        K, D, R, T = aux
+        D = D.reshape(K.shape[0], -1)[:, :4]
+        pts, Jfk = fk_and_jac(pose)
+
+        def proj_all(p):
+            return jax.vmap(
+                lambda k, d, r, t: cam_ops.project_points_fisheye(p, k, d, r, t)
+            )(K, D, R, T)
+
+        h, lin = jax.linearize(proj_all, pts)
+        cols = [
+            lin(jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype)[axis], pts.shape))
+            for axis in range(3)
+        ]
+        Jp = jnp.stack(cols, axis=-1)  # (C, L, 2, 3)
+        return h.reshape(-1), Jp, Jfk
+
+    return hj
+
+
+#: generic-skeleton solver cache; entries hold a strong reference to the
+#: SkeletonModel so the id() key can never be silently reused
+_GENERIC_SOLVER_CACHE: Dict = {}
+
+
+def _cached_batch_solver_generic(model, cfg, dtype):
+    key = (id(model), cfg, str(dtype))
+    entry = _GENERIC_SOLVER_CACHE.get(key)
+    if entry is None:
+        h = make_h_fn_aux_generic(model.fk)
+        hj = make_hj_parts_aux_generic(model.fk_and_jac)
+
+        def batched(X0, meas, w, aux, nv):
+            def one(a, b, c, x, n):
+                X, info = trajopt.fte_solve(
+                    h, a, b, c, cfg, aux=x, n_valid=n, hj_parts_fn=hj
+                )
+                return X, dict(
+                    cost=info["cost"], cost0=info["cost0"],
+                    converged=info["converged"], grad_norm=info["grad_norm"],
+                )
+
+            return jax.vmap(one)(X0, meas, w, aux, nv)
+
+        entry = (model, jax.jit(batched))
+        _GENERIC_SOLVER_CACHE[key] = entry
+    return entry[1]
+
+
+def solve_batch_generic(
+    model,
+    runs: Sequence[RunData],
+    dlc_thresh: float = 0.4,
+    num_iters: int = 60,
+    mesh=None,
+    dtype=jnp.float32,
+    init_marker: str = "forehead",
+    huber_delta: float = 3.0,
+    exclude_markers: Sequence[str] = ("neck",),
+    X0_override: Optional[Sequence[np.ndarray]] = None,
+) -> List[Dict]:
+    """Batched generic-skeleton FTE — the src/build.py path at sweep
+    scale: N runs of any subject (humans, new animals) solve as ONE
+    jitted, mesh-sharded program, per-run rigs riding along as vmapped
+    aux, reusing the skeleton's analytic FK Jacobian when available
+    (models.skeleton.fk_and_jac). ``runs[i].pixels`` must be in the
+    model's marker order.
+    """
+    from ..models.skeleton import SkeletonModel  # noqa: F401 (doc type)
+    from .ekf import nose_track_linreg
+    from .generic import generic_config
+    from .tri import triangulate_run
+
+    fps = runs[0].fps
+    N = max(r.pixels.shape[1] for r in runs)
+    C = max(r.pixels.shape[0] for r in runs)
+    cfg = generic_config(model, fps, num_iters=num_iters, huber_delta=huber_delta)
+
+    pix_b, lik_b, cams_b, n_valid, X0_b = [], [], [], [], []
+    for i, run in enumerate(runs):
+        pix, lik, cams, n0 = _pad_run(run, N, C)
+        if X0_override is not None:
+            Xw = np.asarray(X0_override[i], np.float64)
+            X0 = np.zeros((N, model.n_pose))
+            X0[: len(Xw)] = Xw
+            X0[len(Xw):] = Xw[-1]
+        else:
+            # init from the triangulated init_marker track (build.py:151-165)
+            valid = np.nan_to_num(lik, nan=-1.0) > dlc_thresh
+            tri_pos = triangulate_run(np.nan_to_num(pix), valid, *cams)
+            mi = model.markers.index(init_marker)
+            xs, xi, ys, yi, zs, zi = nose_track_linreg(tri_pos, np.arange(N), mi)
+            X0 = np.zeros((N, model.n_pose))
+            f = np.arange(N, dtype=np.float64)
+            X0[:, 0] = f * xs + xi
+            X0[:, 1] = f * ys + yi
+            X0[:, 2] = f * zs + zi
+        pix_b.append(pix)
+        lik_b.append(lik)
+        cams_b.append(cams)
+        n_valid.append(n0)
+        X0_b.append(X0)
+
+    meas = np.stack(pix_b).transpose(0, 2, 1, 3, 4)  # (B, N, C, L, 2)
+    lik = np.stack(lik_b).transpose(0, 2, 1, 3)
+    w = (lik > dlc_thresh).astype(np.float64) / cfg.meas_std_px
+    for m in exclude_markers or ():
+        if m in model.markers:
+            w[:, :, :, model.markers.index(m)] = 0.0
+    for i, n0 in enumerate(n_valid):
+        w[i, n0:] = 0.0
+    aux = tuple(np.stack([c[j] for c in cams_b]) for j in range(4))
+
+    mesh = mesh or mesh_lib.make_mesh(model_axis=False)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("data"))
+    solver = _cached_batch_solver_generic(model, cfg, dtype)
+    n_dev = mesh.shape["data"]
+    (X0p, measp, wp), B0 = mesh_lib.pad_batch([np.stack(X0_b), meas, w], n_dev)
+    aux_p = []
+    for a in aux:
+        (ap,), _ = mesh_lib.pad_batch([a], n_dev)
+        aux_p.append(jax.device_put(jnp.asarray(ap, dtype), shard))
+    (nvp,), _ = mesh_lib.pad_batch([np.asarray(n_valid, np.int32)], n_dev)
+    Xb, status = solver(
+        jax.device_put(jnp.asarray(X0p, dtype), shard),
+        jax.device_put(jnp.asarray(measp, dtype), shard),
+        jax.device_put(jnp.asarray(wp, dtype), shard),
+        tuple(aux_p),
+        jax.device_put(jnp.asarray(nvp), shard),
+    )
+    fk_batch = jax.jit(jax.vmap(jax.vmap(model.fk)))
+    positions_b = np.asarray(fk_batch(Xb[:B0]))
+    Xb = np.asarray(Xb[:B0])
+    status = {k2: np.asarray(v) for k2, v in status.items()}
+
+    results = []
+    Ts = 1.0 / fps
+    for i, run in enumerate(runs):
+        n0 = n_valid[i]
+        X = Xb[i, :n0].astype(np.float64)
+        # backward-difference derivatives on host (cheap numpy — eager
+        # per-run jnp calls would pay remote-dispatch per op)
+        dx = np.diff(X, axis=0) / Ts
+        dx = np.concatenate([dx[:1], dx], axis=0) if len(X) > 1 else np.zeros_like(X)
+        ddx = np.diff(dx, axis=0) / Ts
+        ddx = (
+            np.concatenate([ddx[1:2], ddx[1:2], ddx[1:]], axis=0)
+            if len(X) > 2 else np.zeros_like(X)
+        )
+        results.append(
+            dict(
+                data_dir=run.data_dir,
+                positions=positions_b[i, :n0].astype(np.float64),
+                x=X, dx=dx, ddx=ddx,
+                markers=list(model.markers),
+                start_frame=run.start_frame,
+                scene_fpath=run.scene_fpath,
+                cost=float(status["cost"][i]),
+                cost0=float(status["cost0"][i]),
+                converged=bool(status["converged"][i]),
+                grad_norm=float(status["grad_norm"][i]),
             )
         )
     return results
@@ -257,7 +499,9 @@ def _cached_batch_ekf_solver(cfg, N, C, dtype_str, p0_bytes):
         from .ekf import hj_parts_aux
 
         dtype = jnp.float32 if "32" in dtype_str else jnp.float64
-        P0 = np.frombuffer(p0_bytes).reshape(3 * cheetah.N_ACTIVE, -1)
+        n_states = 3 * cheetah.N_ACTIVE
+        assert len(p0_bytes) == n_states * n_states * 8, len(p0_bytes)
+        P0 = np.frombuffer(p0_bytes, dtype=np.float64).reshape(n_states, n_states)
         h_aux = _h_fn_aux(dtype)
 
         def one(pix, lik, x0, auxi, mpe_i):
@@ -342,7 +586,11 @@ def solve_batch_ekf(
         positions = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(x_s)))
         results.append(dict(data_dir=run.data_dir, positions=positions, states=states,
                             start_frame=run.start_frame, scene_fpath=run.scene_fpath,
-                            max_pixel_err=float(mpe[i])))
+                            max_pixel_err=float(mpe[i]),
+                            # per-run filter status (gated-pair count —
+                            # the EKF's failure-detection signal, parity
+                            # with the FTE stage's converged/grad_norm)
+                            outliers=int(out["outliers"][i])))
     return results
 
 
@@ -353,11 +601,20 @@ def sweep(
     save: bool = True,
     max_frames: Optional[int] = None,
     stages: Sequence[str] = ("fte",),
+    warm_start: bool = False,
+    relinearize_every: int = 1,
 ) -> List[Dict]:
     """Run batched reconstruction over every run under root_dir
     (all_flick twin). Groups runs by fps (compile signature), solves
     each group as one sharded program per requested stage ('fte' and/or
     'ekf'), writes per-run pickles.
+
+    ``warm_start`` initializes the FTE from the batched EKF stage's
+    smoothed poses (the reference's own tri→sba→ekf→fte stage order,
+    src/all_optimizations.py:950-983) instead of the TRI+linreg cold
+    start — the EKF runs regardless of whether 'ekf' is in ``stages``;
+    measured to let the GN converge in roughly half the iterations
+    (scripts/warm_start_study.py).
     """
     from ..utils.cache import enable_persistent_cache
 
@@ -371,10 +628,11 @@ def sweep(
 
     all_results = []
     for fps, group in groups.items():
-        if "ekf" in stages:
+        ekf_results = None
+        if "ekf" in stages or (warm_start and "fte" in stages):
             print(f"EKF: {len(group)} runs @ {fps} fps as one batch")
             ekf_results = solve_batch_ekf(group, dlc_thresh)
-            if save:
+            if save and "ekf" in stages:
                 for res in ekf_results:
                     out_dir = os.path.join(res["data_dir"], "ekf")
                     os.makedirs(out_dir, exist_ok=True)
@@ -384,8 +642,16 @@ def sweep(
             if "fte" not in stages:
                 all_results.extend(ekf_results)
         if "fte" in stages:
-            print(f"FTE: {len(group)} runs @ {fps} fps as one batch")
-            results = solve_batch(group, dlc_thresh, num_iters=num_iters)
+            print(f"FTE: {len(group)} runs @ {fps} fps as one batch"
+                  + (" (EKF warm start)" if warm_start else ""))
+            X0_override = ekf_warm_starts(ekf_results) if warm_start else None
+            results = solve_batch(
+                group, dlc_thresh, num_iters=num_iters,
+                X0_override=X0_override, relinearize_every=relinearize_every,
+                # the EKF init is already near the optimum and 3σ-gated:
+                # switch the redescending weights on almost immediately
+                plain_iters=(4 if warm_start else None),
+            )
             all_results.extend(results)
             if save:
                 for res in results:
@@ -397,6 +663,9 @@ def sweep(
                         extra_data=dict(
                             x=res["x"], dx=res["dx"], ddx=res["ddx"],
                             start_frame=res["start_frame"],
+                            cost=res["cost"], cost0=res["cost0"],
+                            converged=res["converged"],
+                            grad_norm=res["grad_norm"],
                         ),
                     )
     return all_results

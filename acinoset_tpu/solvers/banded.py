@@ -4,7 +4,7 @@ The FTE collocation normal equations are block-banded in time: frame n
 couples only to frames n-3..n+3 (third-difference smoothness stencil),
 with dense PxP diagonal blocks from the measurement Gauss-Newton terms.
 This module factors and solves such systems with sequential scans over
-the time axis — the TPU-native替代 for IPOPT's general sparse
+the time axis — the TPU-native replacement for IPOPT's general sparse
 factorization (ma86/MUMPS): `vmap` over a batch of trajectories turns
 every PxP block op into one big batched MXU matmul.
 

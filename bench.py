@@ -2,9 +2,8 @@
 """Benchmark: batched FTE throughput on TPU.
 
 Runs the flagship workload — full-trajectory estimation (FTE) for a
-batch of cheetah trajectories (N frames x 6 cams x 20 markers, 50
-Gauss-Newton iterations) — as one sharded jit program and reports
-trajectories/second.
+batch of cheetah trajectories (N frames x 6 cams x 20 markers) — as one
+sharded jit program and reports trajectories/second.
 
 Baseline: the reference solves each trajectory as a separate
 Pyomo->IPOPT NLP on CPU. The repo publishes no timings (BASELINE.md);
@@ -12,8 +11,17 @@ the driver's north-star target is 90+ trajectories in under 60 s on a
 v5e-8 slice, i.e. 1.5 traj/s, which we use as the baseline rate
 (vs_baseline = ours / 1.5).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Env overrides: BENCH_BATCH, BENCH_FRAMES, BENCH_ITERS, BENCH_REPEATS.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Env overrides:
+  BENCH_BATCH / BENCH_FRAMES / BENCH_ITERS / BENCH_REPEATS — shapes
+  BENCH_SOLVER   — FteConfig.linear_solver override
+  BENCH_RELIN    — FteConfig.relinearize_every (lagged-Jacobian GN)
+  BENCH_COLD=1   — disable the EKF warm start (TRI+linreg init,
+                   BENCH_ITERS defaults to 40 there vs 20 warm)
+  BENCH_MIXED=1  — ALSO time the heterogeneous sweep path (per-run rigs
+                   as vmapped aux, ragged n_valid) and report it as an
+                   extra field
+  BENCH_FLOPS=1  — report XLA cost-analysis sustained FLOP/s
 """
 import json
 import os
@@ -25,6 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _best_time(fn, repeats):
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
 def main():
     from acinoset_tpu.utils.cache import enable_persistent_cache
 
@@ -32,15 +49,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from acinoset_tpu.models import cheetah
     from acinoset_tpu.parallel import mesh as mesh_lib
     from acinoset_tpu.pipeline.ekf import make_h_fn, make_hj_parts_fn
     from acinoset_tpu.pipeline.fte import default_config, initial_trajectory
     from acinoset_tpu.utils import synthetic
 
-    B = int(os.environ.get("BENCH_BATCH", 96))
+    warm = not os.environ.get("BENCH_COLD")
+    B = int(os.environ.get("BENCH_BATCH", 768))
     N = int(os.environ.get("BENCH_FRAMES", 100))
-    iters = int(os.environ.get("BENCH_ITERS", 40))
+    iters = int(os.environ.get("BENCH_ITERS", 20 if warm else 40))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    relin = int(os.environ.get("BENCH_RELIN", 1))
     dtype = jnp.float32
 
     # synthetic canonical run: 6 cams, 20 markers, N frames @ 90 fps
@@ -52,14 +72,21 @@ def main():
     )
 
     cfg = default_config(90.0, num_iters=iters)
-    if os.environ.get("BENCH_SOLVER"):
-        from dataclasses import replace
+    from dataclasses import replace
 
+    if os.environ.get("BENCH_SOLVER"):
         cfg = replace(cfg, linear_solver=os.environ["BENCH_SOLVER"])
+    if relin != 1:
+        cfg = replace(cfg, relinearize_every=relin)
+    if warm:
+        # EKF init is near-optimal and 3σ-gated: skip most of the
+        # graduated plain phase (same optimum, fewer wasted iterations)
+        cfg = replace(cfg, plain_iters=min(cfg.plain_iters, 4))
     h = make_h_fn(k_arr, d_arr, r_arr, t_arr, dtype)
     X0 = initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr, np.arange(N), 0.5)
     meas = pixels.transpose(1, 0, 2, 3)
-    w = (likelihood.transpose(1, 0, 2) > 0.5) / cfg.meas_std_px
+    lik_t = likelihood.transpose(1, 0, 2)
+    w = (lik_t > 0.5) / cfg.meas_std_px
 
     # batch: replicate with small perturbations so trajectories differ
     rng = np.random.default_rng(1)
@@ -68,6 +95,51 @@ def main():
     wb = np.broadcast_to(w, (B,) + w.shape).copy()
 
     mesh = mesh_lib.make_mesh(model_axis=(len(jax.devices()) % 2 == 0 and len(jax.devices()) > 1))
+    extra = {}
+    t_ekf = 0.0
+
+    if warm:
+        # EKF warm start: the batched EKF+RTS stage provides the FTE
+        # init (the reference's own tri→sba→ekf→fte order); its cost is
+        # INCLUDED in the reported rate. ~half the GN iterations reach
+        # the cold-start optimum (scripts/warm_start_study.py).
+        from acinoset_tpu.pipeline import sweep as sweep_lib
+        from acinoset_tpu.solvers import ekf as ekf_solver
+
+        n_pose = cheetah.N_ACTIVE
+        ecfg = ekf_solver.EkfConfig(
+            dt=1.0 / 90.0, dlc_thresh=0.5, meas_std_px=cheetah.MEAS_STD_PX,
+        )
+        p_ang = np.ones(n_pose - 3)
+        P0 = np.diag(np.concatenate([
+            np.ones(3) * 9.0, p_ang * (np.pi / 4) ** 2,
+            np.ones(3) * 25.0, p_ang * 9.0,
+            np.ones(3) * 9.0, np.concatenate([p_ang[:10] * 9.0, p_ang[10:] * 25.0]),
+        ]))
+        x0e = np.zeros(3 * n_pose)
+        x0e[:n_pose] = X0[0]
+        if len(X0) > 1:
+            x0e[n_pose : n_pose + 3] = (X0[1, :3] - X0[0, :3]) * 90.0
+        aux1 = (np.stack([k_arr] * B), np.stack([d_arr.reshape(-1, 4)] * B),
+                np.stack([r_arr] * B), np.stack([np.asarray(t_arr).reshape(-1, 3)] * B))
+        ekf_solver_fn = sweep_lib._cached_batch_ekf_solver(
+            ecfg, N, 6, str(dtype), P0.tobytes()
+        )
+        ekf_args = (
+            jnp.asarray(np.broadcast_to(pixels.transpose(1, 0, 2, 3), (B, N, 6, 20, 2)), dtype),
+            jnp.asarray(np.broadcast_to(lik_t, (B, N, 6, 20)), dtype),
+            jnp.asarray(np.stack([x0e] * B), dtype),
+            tuple(jnp.asarray(a, dtype) for a in aux1),
+            jnp.asarray(np.full(B, float(res[0])), dtype),
+        )
+        out = ekf_solver_fn(*ekf_args)  # compile + warmup
+        jax.block_until_ready(out)
+        t_ekf = _best_time(
+            lambda: jax.block_until_ready(ekf_solver_fn(*ekf_args)), repeats
+        )
+        X0b = np.asarray(out["smoothed_x"], np.float64)
+        extra["ekf_sec"] = round(t_ekf, 4)
+
     X0s, meass, ws = mesh_lib.shard_batch(
         mesh, jnp.asarray(X0b, dtype), jnp.asarray(measb, dtype), jnp.asarray(wb, dtype)
     )
@@ -79,21 +151,50 @@ def main():
     with mesh:
         X = solver(X0s, meass, ws)  # compile + warmup
         X.block_until_ready()
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            X = solver(X0s, meass, ws)
-            X.block_until_ready()
-            times.append(time.perf_counter() - t0)
+        best = _best_time(lambda: solver(X0s, meass, ws).block_until_ready(), repeats)
+
+    if os.environ.get("BENCH_FLOPS"):
+        try:
+            fl = solver.lower(X0s, meass, ws).compile().cost_analysis()
+            flops = float(fl.get("flops", 0.0)) if fl else 0.0
+            extra["xla_flops_per_program"] = flops
+            extra["sustained_tflops"] = round(flops / best / 1e12, 3)
+        except Exception as e:  # cost analysis is best-effort per backend
+            extra["flops_error"] = str(e)[:120]
 
     # sanity: solution quality (marker error vs ground truth, f32 path)
-    from acinoset_tpu.models import cheetah
-
     mk = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(np.asarray(X[0]))))
     mk_err = float(np.nanmean(np.linalg.norm(mk - pts3d, axis=-1)))
 
-    best = min(times)
-    traj_per_sec = B / best
+    if os.environ.get("BENCH_MIXED"):
+        # heterogeneous sweep path: per-run rigs as vmapped aux, ragged
+        # n_valid — the thing `cli sweep` actually runs
+        from acinoset_tpu.pipeline import sweep as sweep_lib
+
+        rngm = np.random.default_rng(7)
+        aux = []
+        for j, base in enumerate((k_arr, d_arr.reshape(-1, 4), r_arr,
+                                  np.asarray(t_arr).reshape(-1, 3))):
+            reps = np.stack([base] * B).astype(np.float64)
+            if j == 3:  # jitter camera positions per run (distinct rigs)
+                reps = reps + rngm.normal(scale=1e-3, size=reps.shape)
+            aux.append(reps)
+        nv = rngm.integers(int(0.7 * N), N + 1, size=B).astype(np.int32)
+        wmix = wb.copy()
+        for i in range(B):
+            wmix[i, nv[i]:] = 0.0
+        msolver = sweep_lib._cached_batch_solver(cfg, dtype)
+        margs = (
+            jnp.asarray(X0b, dtype), jnp.asarray(measb, dtype),
+            jnp.asarray(wmix, dtype), tuple(jnp.asarray(a, dtype) for a in aux),
+            jnp.asarray(nv),
+        )
+        mout = msolver(*margs)
+        jax.block_until_ready(mout)
+        t_mixed = _best_time(lambda: jax.block_until_ready(msolver(*margs)), repeats)
+        extra["mixed_traj_per_sec"] = round(B / (t_mixed + t_ekf), 3)
+
+    traj_per_sec = B / (best + t_ekf)
     baseline = 1.5  # north-star: 90 trajectories / 60 s
     print(
         json.dumps(
@@ -101,8 +202,10 @@ def main():
                 "metric": "fte_trajectories_per_sec",
                 "value": round(traj_per_sec, 3),
                 "unit": f"traj/s (B={B}, N={N}, C=6, L=20, iters={iters}, "
+                f"warm={int(warm)}, relin={relin}, "
                 f"devices={len(mesh.devices.flatten())}, mean_marker_err_m={mk_err:.4f})",
                 "vs_baseline": round(traj_per_sec / baseline, 3),
+                **extra,
             }
         )
     )

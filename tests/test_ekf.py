@@ -51,6 +51,46 @@ def test_ekf_tracks_synthetic_run(synth):
     assert np.nanmean(mk_err) < 0.10, np.nanmean(mk_err)
 
 
+def test_ekf_f32_matches_f64(synth):
+    """The sweep path runs the EKF in float32 (information-form update
+    with clamped unrolled-Cholesky pivots) — regression-check it against
+    the f64 run the oracle test validates (ADVICE r2)."""
+    import jax.numpy as jnp
+
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    pp = cheetah.get_pose_params()
+    x0 = np.zeros(3 * cheetah.N_ACTIVE)
+    x0[pp["x_0"]] = X_true[0, pp["x_0"]]
+    x0[pp["y_0"]] = X_true[0, pp["y_0"]]
+    x0[pp["psi_0"]] = X_true[0, pp["psi_0"]]
+    x0[cheetah.N_ACTIVE + pp["x_0"]] = 8.0
+
+    kwargs = dict(fps=90.0, cam_res=res, dlc_thresh=0.5, x0_pose=x0)
+    s64 = run_cheetah_ekf(
+        pixels.transpose(1, 0, 2, 3), likelihood.transpose(1, 0, 2),
+        k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64, **kwargs,
+    )
+    s32 = run_cheetah_ekf(
+        pixels.transpose(1, 0, 2, 3), likelihood.transpose(1, 0, 2),
+        k_arr, d_arr, r_arr, t_arr, dtype=jnp.float32, **kwargs,
+    )
+    # filters amplify rounding on weakly-observed angles (measured max
+    # state gap ~0.13 rad on a tail angle), so the guard is the
+    # product-level metric: FK marker positions must agree to mm scale,
+    # states loosely — a clamped-pivot degradation would blow both up
+    import jax, jax.numpy as jnp2
+
+    for key in ("x", "smoothed_x"):
+        diff = np.abs(s32[key].astype(np.float64) - s64[key])
+        assert diff.max() < 0.3, (key, diff.max())
+        assert diff.mean() < 0.02, (key, diff.mean())
+        mk32 = np.asarray(jax.vmap(cheetah.fk25)(jnp2.asarray(s32[key], jnp2.float64)))
+        mk64 = np.asarray(jax.vmap(cheetah.fk25)(jnp2.asarray(s64[key])))
+        mk_gap = np.linalg.norm(mk32 - mk64, axis=-1)
+        assert mk_gap.mean() < 1e-2, (key, mk_gap.mean())
+
+
 def test_ekf_constant_acc_blocks():
     from acinoset_tpu.solvers import ekf as ekf_solver
 

@@ -206,3 +206,55 @@ def test_fte_hj_parts_matches_default(synth):
     np.testing.assert_allclose(
         float(info_p["cost"]), float(info_ref["cost"]), rtol=1e-7
     )
+
+
+def test_fte_lagged_jacobian_reaches_same_cost(synth):
+    """Lagged/chord Gauss-Newton (relinearize_every=k) must reach the
+    same final cost as fully-relinearized GN — the residual and
+    accept/reject objective stay exact; only the linearization lags
+    (VERDICT r2 item 3). Calibrated on the flagship workload:
+    k=2/3 land within 0.01% of k=1 (scripts/probe_lag_stat.py)."""
+    from dataclasses import replace
+
+    from acinoset_tpu.pipeline.ekf import make_hj_parts_fn
+    from acinoset_tpu.pipeline.fte import initial_trajectory
+
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
+    hj_parts = make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr)
+    N = pixels.shape[1]
+    X0 = jnp.asarray(
+        initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr,
+                           np.arange(N), 0.5)
+    )
+    meas = jnp.asarray(pixels.transpose(1, 0, 2, 3))
+    cfg1 = default_config(90.0, num_iters=30)
+    w = jnp.asarray((likelihood.transpose(1, 0, 2) > 0.5) / cfg1.meas_std_px)
+
+    costs = {}
+    for k in (1, 3):
+        cfg = replace(cfg1, relinearize_every=k)
+        _X, info = trajopt.fte_solve(h, X0, meas, w, cfg, hj_parts_fn=hj_parts)
+        costs[k] = float(info["cost"])
+    assert abs(costs[3] - costs[1]) < 0.005 * costs[1], costs
+
+
+def test_fte_stationarity_status(synth):
+    """converged is a scaled-gradient stationarity flag: True after a
+    full solve, False when the iteration budget is clearly too small,
+    and grad_norm is surfaced (VERDICT r2 item 7)."""
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    full = fte_run(
+        pixels, likelihood, k_arr, d_arr, r_arr, t_arr,
+        fps=90.0, dlc_thresh=0.5, num_iters=50,
+    )
+    assert full["converged"] is True
+    assert full["grad_norm"] < 0.5, full["grad_norm"]
+    short = fte_run(
+        pixels, likelihood, k_arr, d_arr, r_arr, t_arr,
+        fps=90.0, dlc_thresh=0.5, num_iters=4,
+    )
+    assert short["converged"] is False
+    assert short["grad_norm"] > 0.5, short["grad_norm"]

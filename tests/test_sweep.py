@@ -75,3 +75,137 @@ def test_sweep_batched_ekf(dataset_root):
         # untrusted sigma follows each run's own camera width
         # (src/all_optimizations.py:610) — the 1080p run must use 1920
         assert res["max_pixel_err"] == widths[res["data_dir"]], res["data_dir"]
+
+
+def test_sweep_warm_start_matches_cold(dataset_root):
+    """EKF-warm-started FTE (VERDICT r2 item 2): half the iterations from
+    the smoothed EKF init must land on the same solutions as the 40-iter
+    cold start, with per-run solver status surfaced."""
+    root, gts, _widths = dataset_root
+    cold = sweep.sweep(root, dlc_thresh=0.5, num_iters=40, save=False)
+    warm = sweep.sweep(root, dlc_thresh=0.5, num_iters=20, save=False,
+                       warm_start=True)
+    assert len(cold) == len(warm) == 3
+    by_dir = {r["data_dir"]: r for r in cold}
+    for res in warm:
+        # status fields ride out of the jitted batch per run
+        assert set(res) >= {"cost", "cost0", "converged", "grad_norm"}
+        assert res["cost"] < res["cost0"]
+        pts3d = gts[res["data_dir"]]
+        err = np.linalg.norm(res["positions"] - pts3d, axis=-1)
+        assert np.nanmean(err) < 0.06, (res["data_dir"], np.nanmean(err))
+        # same optimum as the cold start (marker space, mm scale)
+        d = np.linalg.norm(res["positions"] - by_dir[res["data_dir"]]["positions"],
+                           axis=-1)
+        assert np.nanmean(d) < 0.01, (res["data_dir"], np.nanmean(d))
+
+
+def test_sweep_ekf_surfaces_outliers(dataset_root):
+    root, _gts, _widths = dataset_root
+    results = sweep.sweep(root, dlc_thresh=0.5, stages=("ekf",), save=False)
+    for res in results:
+        assert "outliers" in res and res["outliers"] >= 0
+
+
+def _tree_skeleton_runs(n_runs=2, n_cams=4, N=40, fps=90.0, seed=0):
+    """Synthetic 3-link tree skeleton + measurements rendered through its
+    own FK (the generic-sweep ground-truth harness)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acinoset_tpu.models.skeleton import build_skeleton_model
+    from acinoset_tpu.ops import camera as cam_ops
+
+    skel = dict(
+        links=[["root"], ["root", "mid"], ["mid", "tip"]],
+        positions=dict(root=[0.0, 0.0, 0.0], mid=[0.4, 0.0, 0.0],
+                       tip=[0.8, 0.0, 0.0]),
+        dofs=dict(root=[1, 1, 1], mid=[0, 1, 1], tip=[0, 1, 0]),
+        markers=["root", "mid", "tip"],
+    )
+    model = build_skeleton_model(skel)
+    rng = np.random.default_rng(seed)
+    runs, gts = [], []
+    for ri in range(n_runs):
+        n = N - 8 * ri  # ragged lengths across the batch
+        t = np.arange(n) / fps
+        X = np.zeros((n, model.n_pose))
+        X[:, 0] = -1.0 + 6.0 * t
+        X[:, 1] = 0.2 * np.sin(2 * np.pi * t + ri)
+        X[:, 2] = 0.6 + 0.05 * np.sin(2 * np.pi * 2 * t)
+        X[:, 3:] = 0.3 * np.sin(
+            2 * np.pi * t[:, None] * rng.uniform(0.5, 1.5, model.n_pose - 3)
+            + rng.uniform(0, 6, model.n_pose - 3)
+        )
+        cams = synthetic.ring_cameras(n_cams=n_cams)
+        k, d, r, tt, res = cams
+        pts = np.asarray(jax.vmap(model.fk)(jnp.asarray(X)))  # (n, L, 3)
+        pix = np.stack([
+            np.asarray(jax.vmap(
+                lambda p, c=c: cam_ops.project_points_fisheye(
+                    p, jnp.asarray(k[c]), jnp.asarray(d[c]),
+                    jnp.asarray(r[c]), jnp.asarray(tt[c]))
+            )(jnp.asarray(pts)))
+            for c in range(n_cams)
+        ])  # (C, n, L, 2)
+        pix += rng.normal(scale=1.0, size=pix.shape)
+        lik = np.ones((n_cams, n, len(model.markers)))
+        runs.append(sweep.RunData(
+            data_dir=f"tree_run_{ri}", pixels=pix, likelihood=lik,
+            cams=(k, d.reshape(-1, 4), r, np.asarray(tt).reshape(-1, 3)),
+            fps=fps, start_frame=0, scene_fpath="",
+        ))
+        gts.append(pts)
+    return model, runs, gts
+
+
+def test_sweep_generic_batched_tree_analytic():
+    """Generic-skeleton batched sweep (VERDICT r2 item 4): ≥2 ragged runs
+    of an arbitrary tree skeleton solve through ONE jitted program,
+    reusing the skeleton's analytic FK Jacobian."""
+    model, runs, gts = _tree_skeleton_runs()
+    # the analytic-Jacobian path must actually be in play for a tree
+    assert sweep.make_hj_parts_aux_generic(model.fk_and_jac) is not None
+    results = sweep.solve_batch_generic(
+        model, runs, dlc_thresh=0.5, num_iters=30,
+        init_marker="root", exclude_markers=(),
+    )
+    assert len(results) == 2
+    for res, pts in zip(results, gts):
+        assert res["positions"].shape == pts.shape  # ragged length honored
+        assert res["cost"] < res["cost0"]
+        err = np.linalg.norm(res["positions"] - pts, axis=-1)
+        assert np.nanmean(err) < 0.05, (res["data_dir"], np.nanmean(err))
+
+
+def test_sweep_generic_batched_human_fallback():
+    """The shipped human skeleton has a non-tree link graph (two-parent
+    hip) — the batched generic path must fall back to jacfwd and still
+    batch 2 ragged windows of the real shipped data in one program."""
+    from glob import glob
+
+    from acinoset_tpu.models.skeleton import build_skeleton_model
+    from acinoset_tpu.pipeline import data as data_io
+
+    REF = "/root/reference"
+    skel = data_io.load_skeleton(f"{REF}/skeletons/new_human.pickle")
+    model = build_skeleton_model(skel)
+    assert model.fk_and_jac is None  # jacfwd fallback path
+    k, d, r, t, _res = data_io.load_scene(f"{REF}/data/4_cam_scene_static_sba.json")
+    fpaths = sorted(glob(f"{REF}/data/*.h5"))
+    p2d = data_io.load_dlc_points(fpaths, markers=model.markers)
+    runs = []
+    for start, n in ((60, 40), (100, 32)):
+        win = p2d.window(start, start + n)
+        runs.append(sweep.RunData(
+            data_dir=f"human_{start}", pixels=win.pixels,
+            likelihood=np.nan_to_num(win.likelihood, nan=-1.0),
+            cams=(k, d.reshape(-1, 4), r, np.asarray(t).reshape(-1, 3)),
+            fps=120.0, start_frame=start, scene_fpath="",
+        ))
+    results = sweep.solve_batch_generic(model, runs, dlc_thresh=0.4, num_iters=20)
+    assert len(results) == 2
+    for res, (start, n) in zip(results, ((60, 40), (100, 32))):
+        assert res["x"].shape == (n, model.n_pose)
+        assert res["cost"] < res["cost0"], res["data_dir"]
+        assert np.isfinite(res["grad_norm"])
