@@ -95,13 +95,14 @@ def pad_batch(arrs: Sequence[np.ndarray], multiple: int):
 
 
 def sharded_fte_solver(mesh: Mesh, h_fn, cfg, shard_cameras: bool = True,
-                       hj_parts_fn=None):
+                       hj_parts_fn=None, with_status: bool = False):
     """Return a jitted batched FTE solver with mesh shardings baked in.
 
     The returned fn maps (X0 (B,N,P), meas (B,N,C,L,2), w (B,N,C,L)) ->
     X (B,N,P), sharded over 'data' (and cameras over 'model' inside the
-    measurement reduction when available).
-    """
+    measurement reduction when available). With ``with_status`` it
+    returns (X, converged (B,), grad_norm (B,)) — the per-trajectory
+    stationarity flags (see trajopt.fte_solve)."""
     from ..solvers.trajopt import fte_solve
 
     sx, sm, sw = batch_spec(mesh, shard_cameras)
@@ -110,11 +111,23 @@ def sharded_fte_solver(mesh: Mesh, h_fn, cfg, shard_cameras: bool = True,
         NamedSharding(mesh, sm),
         NamedSharding(mesh, sw),
     )
-    out_sharding = NamedSharding(mesh, P("data", None, None))
+    out_x = NamedSharding(mesh, P("data", None, None))
+    out_b = NamedSharding(mesh, P("data"))
+
+    if with_status:
+        def batched(X0, meas, w):
+            def one(a, b, c):
+                X, info = fte_solve(h_fn, a, b, c, cfg, hj_parts_fn=hj_parts_fn)
+                return X, info["converged"], info["grad_norm"]
+
+            return jax.vmap(one)(X0, meas, w)
+
+        return jax.jit(batched, in_shardings=in_shardings,
+                       out_shardings=(out_x, out_b, out_b))
 
     def batched(X0, meas, w):
         return jax.vmap(
             lambda a, b, c: fte_solve(h_fn, a, b, c, cfg, hj_parts_fn=hj_parts_fn)[0]
         )(X0, meas, w)
 
-    return jax.jit(batched, in_shardings=in_shardings, out_shardings=out_sharding)
+    return jax.jit(batched, in_shardings=in_shardings, out_shardings=out_x)

@@ -88,13 +88,22 @@ class FteConfig:
     limit_penalty: float = 1e4
     lam0: float = 1e-2
     lam_up: float = 4.0
-    lam_down: float = 0.25
+    #: LM damping decay on accept. 0.5 (gentle) measured strictly better
+    #: than the former 0.25: aggressive decay made a ~15% tail of
+    #: near-identical batch replicas oscillate accept/reject in the
+    #: redescending phase and stall >2x longer (24/24 vs 21/24 converged
+    #: at 14 iterations, equal final cost at 40 — see CLAUDE.md)
+    lam_down: float = 0.5
     #: refresh the measurement Jacobian (Jp, Jfk) every k-th iteration
     #: instead of every iteration (lagged/chord Gauss-Newton). The
     #: residual h(X) — and therefore the accept/reject objective — is
     #: still exact every iteration; only the linearization lags. A
     #: rejected step forces a refresh at the next candidate. k=1 is the
-    #: classic fully-relinearized GN.
+    #: classic fully-relinearized GN. Measured on v5e: k>1 is a net LOSS
+    #: in hj_parts mode (the Jacobian's 3 linearized passes share the
+    #: forward pass, so skipping them still pays a separate h-only pass
+    #: plus slower convergence: 399 vs 498 traj/s at k=2, 14 iters) —
+    #: kept as an option for jacfwd-mode models where J truly dominates.
     relinearize_every: int = 1
     #: stationarity tolerance: converged when the Jacobi-scaled gradient
     #: inf-norm  max_i |g_i| / sqrt(H_ii)  at the last linearization

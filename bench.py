@@ -12,12 +12,22 @@ v5e-8 slice, i.e. 1.5 traj/s, which we use as the baseline rate
 (vs_baseline = ours / 1.5).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The default configuration is the measured optimum for this workload
+(docs/scaling.jsonl + scripts/warm_start_study.py + the plain_iters
+study): batch B=96 (the throughput plateau starts there — frames/s is
+flat from B=96 to 768), cold TRI+linreg init, 14 GN iterations with the
+robust weights switching on at iteration 5 (converges in ~9 iterations
+at equal marker error to the 40-iteration reference schedule on this
+workload; per-trajectory stationarity flags are reported so an
+unconverged batch cannot masquerade as a fast one).
+
 Env overrides:
   BENCH_BATCH / BENCH_FRAMES / BENCH_ITERS / BENCH_REPEATS — shapes
   BENCH_SOLVER   — FteConfig.linear_solver override
   BENCH_RELIN    — FteConfig.relinearize_every (lagged-Jacobian GN)
-  BENCH_COLD=1   — disable the EKF warm start (TRI+linreg init,
-                   BENCH_ITERS defaults to 40 there vs 20 warm)
+  BENCH_PLAIN    — FteConfig.plain_iters (robust-weight switch-on)
+  BENCH_WARM=1   — EKF warm start (batched EKF+RTS provides the init;
+                   its time is included in the reported rate)
   BENCH_MIXED=1  — ALSO time the heterogeneous sweep path (per-run rigs
                    as vmapped aux, ragged n_valid) and report it as an
                    extra field
@@ -55,10 +65,16 @@ def main():
     from acinoset_tpu.pipeline.fte import default_config, initial_trajectory
     from acinoset_tpu.utils import synthetic
 
-    warm = not os.environ.get("BENCH_COLD")
-    B = int(os.environ.get("BENCH_BATCH", 768))
+    warm = bool(os.environ.get("BENCH_WARM"))
+    # B=96 sits ON the throughput plateau: the B x N study
+    # (docs/scaling.jsonl, scripts/bench_scaling.py) measured flat
+    # frames/s from B=96 to B=768 (~17-19k frames/s; the chip is
+    # saturated by one batch-96 program), so larger batches only add
+    # latency and compile-memory pressure (B>=768 at N>=300 crashes the
+    # remote TPU compiler)
+    B = int(os.environ.get("BENCH_BATCH", 96))
     N = int(os.environ.get("BENCH_FRAMES", 100))
-    iters = int(os.environ.get("BENCH_ITERS", 20 if warm else 40))
+    iters = int(os.environ.get("BENCH_ITERS", 16 if warm else 14))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     relin = int(os.environ.get("BENCH_RELIN", 1))
     dtype = jnp.float32
@@ -82,6 +98,16 @@ def main():
         # EKF init is near-optimal and 3σ-gated: skip most of the
         # graduated plain phase (same optimum, fewer wasted iterations)
         cfg = replace(cfg, plain_iters=min(cfg.plain_iters, 4))
+    else:
+        # measured schedule (plain_iters study, CLAUDE.md): the robust
+        # switch at 5 converges this workload in ~9 iterations at equal
+        # error; hard data (10% outliers) needs the conservative 15/40+
+        # — which the per-trajectory converged flags below would expose
+        cfg = replace(cfg, plain_iters=min(cfg.plain_iters, 5))
+    if os.environ.get("BENCH_PCG_ITERS"):
+        cfg = replace(cfg, pcg_iters=int(os.environ["BENCH_PCG_ITERS"]))
+    if os.environ.get("BENCH_PLAIN"):
+        cfg = replace(cfg, plain_iters=int(os.environ["BENCH_PLAIN"]))
     h = make_h_fn(k_arr, d_arr, r_arr, t_arr, dtype)
     X0 = initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr, np.arange(N), 0.5)
     meas = pixels.transpose(1, 0, 2, 3)
@@ -146,12 +172,18 @@ def main():
     hj_parts = make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr, dtype)
     if os.environ.get("BENCH_NO_PARTS"):
         hj_parts = None
-    solver = mesh_lib.sharded_fte_solver(mesh, h, cfg, hj_parts_fn=hj_parts)
+    solver = mesh_lib.sharded_fte_solver(
+        mesh, h, cfg, hj_parts_fn=hj_parts, with_status=True
+    )
 
     with mesh:
-        X = solver(X0s, meass, ws)  # compile + warmup
-        X.block_until_ready()
-        best = _best_time(lambda: solver(X0s, meass, ws).block_until_ready(), repeats)
+        out = solver(X0s, meass, ws)  # compile + warmup
+        X, converged, grad_norm = jax.block_until_ready(out)
+        best = _best_time(
+            lambda: jax.block_until_ready(solver(X0s, meass, ws)), repeats
+        )
+    extra["n_converged"] = int(np.asarray(converged).sum())
+    extra["max_grad_norm"] = round(float(np.asarray(grad_norm).max()), 4)
 
     if os.environ.get("BENCH_FLOPS"):
         try:
@@ -162,9 +194,11 @@ def main():
         except Exception as e:  # cost analysis is best-effort per backend
             extra["flops_error"] = str(e)[:120]
 
-    # sanity: solution quality (marker error vs ground truth, f32 path)
-    mk = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(np.asarray(X[0]))))
-    mk_err = float(np.nanmean(np.linalg.norm(mk - pts3d, axis=-1)))
+    # sanity: solution quality vs ground truth — the mean over the WHOLE
+    # batch (a single row would under-report when some replicas are
+    # still unconverged; n_converged above says how many)
+    mk = np.asarray(jax.jit(jax.vmap(jax.vmap(cheetah.fk25)))(X))
+    mk_err = float(np.nanmean(np.linalg.norm(mk - pts3d[None], axis=-1)))
 
     if os.environ.get("BENCH_MIXED"):
         # heterogeneous sweep path: per-run rigs as vmapped aux, ragged
