@@ -19,9 +19,15 @@ if __name__ == "__main__":
     ap.add_argument("--root_dir", required=True)
     ap.add_argument("--dlc_thresh", type=float, default=0.5)
     ap.add_argument("--num_iters", type=int, default=60)
+    ap.add_argument("--warm_start", action="store_true",
+                    help="initialize the FTE from the batched EKF stage "
+                    "(required for long runs where the linear init diverges)")
     args = ap.parse_args()
 
     t0 = time.perf_counter()
-    results = sweep(args.root_dir, dlc_thresh=args.dlc_thresh, num_iters=args.num_iters)
+    results = sweep(args.root_dir, dlc_thresh=args.dlc_thresh,
+                    num_iters=args.num_iters, warm_start=args.warm_start)
     dt = time.perf_counter() - t0
-    print(f"\nSolved {len(results)} runs in {dt:.1f} s ({len(results) / dt:.2f} runs/s)")
+    n_conv = sum(1 for r in results if r.get("converged", True))
+    print(f"\nSolved {len(results)} runs in {dt:.1f} s ({len(results) / dt:.2f} runs/s); "
+          f"{n_conv}/{len(results)} converged (per-run grad_norm in results)")
