@@ -86,3 +86,49 @@ def render_measurements(X25, cams, noise_px=1.0, outlier_frac=0.02, bad_lik_frac
         likelihood[ci, ni, li] = 0.1
         pixels[ci, ni, li] += rng.normal(scale=300.0, size=(n_bad, 2))
     return pixels, likelihood, pts3d
+
+
+def make_synthetic_run_dir(
+    root_dir,
+    n_cams: int = 4,
+    N: int = 40,
+    fps: float = 90.0,
+    seed: int = 0,
+    cam_res=(2704, 1520),
+    noise_px: float = 1.0,
+):
+    """Write a reference-layout synthetic run directory (dlc/*.h5 +
+    extrinsic_calib/scene JSON + video_info.json) and return
+    (run_dir, cams, X_true, pts3d). The data-dir twin of
+    render_measurements — used by the notebooks and example scripts so
+    every pipeline entry point can run without real capture data."""
+    import json
+    import os
+
+    from ..models import cheetah
+    from ..pipeline import data as data_io
+
+    run = os.path.join(root_dir, "2019_03_09", "synthetic", "run")
+    dlc = os.path.join(run, "dlc")
+    os.makedirs(dlc, exist_ok=True)
+    cams = ring_cameras(n_cams=n_cams, res=cam_res)
+    k, d, r, t, res = cams
+    X_true = cheetah_gallop(N=N, fps=fps)
+    pixels, likelihood, pts3d = render_measurements(
+        X_true, cams, noise_px=noise_px, outlier_frac=0.01, bad_lik_frac=0.02,
+        seed=seed,
+    )
+    for c in range(n_cams):
+        data_io.save_dlc_points_h5(
+            os.path.join(dlc, f"cam{c + 1}DLC.h5"), pixels[c], likelihood[c],
+            cheetah.get_markers(),
+        )
+    scene_dir = os.path.join(os.path.dirname(run), "extrinsic_calib")
+    os.makedirs(scene_dir, exist_ok=True)
+    data_io.save_scene(
+        os.path.join(scene_dir, f"{n_cams}_cam_scene_sba.json"),
+        k, d.reshape(-1, 4, 1), r, t, res,
+    )
+    with open(os.path.join(run, "video_info.json"), "w") as f:
+        json.dump({"resolution": list(res), "fps": fps, "tot_frames": N}, f)
+    return run, cams, X_true, pts3d
