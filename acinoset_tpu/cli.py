@@ -56,12 +56,27 @@ def main(argv=None):
     ps.add_argument("--max_frames", type=int, default=None)
     ps.add_argument("--stages", type=str, default="fte",
                     help="comma list: fte,ekf")
-    ps.add_argument("--warm_start", action="store_true",
-                    help="initialize FTE from the batched EKF stage's "
-                    "smoothed poses (halves the GN iterations needed)")
+    ps.add_argument("--warm_start", choices=("auto", "on", "off"), default="auto",
+                    help="EKF-smoothed FTE init: 'auto' (default) enables it "
+                    "for groups longer than %d frames where the cold init "
+                    "diverges; 'on'/'off' force it" % 150)
     ps.add_argument("--relinearize_every", type=int, default=1,
                     help="lagged-Jacobian GN: refresh the measurement "
                     "Jacobian every k iterations (1 = every)")
+    ps.add_argument("--no_rescue", action="store_true",
+                    help="disable the automatic 3x-iteration re-solve of "
+                    "runs whose stationarity flag is unconverged")
+
+    pv = sub.add_parser("view", help="export an interactive HTML 3D viewer "
+                        "for a result pickle (drag-orbit, frame scrub/play)")
+    pv.add_argument("--result", type=str, required=True,
+                    help="fte/ekf/tri result pickle with a positions array")
+    pv.add_argument("--out", type=str, default=None,
+                    help="output .html (default: alongside the pickle)")
+    pv.add_argument("--scene", type=str, default=None,
+                    help="scene JSON to draw camera frusta (default: the "
+                    "pickle's recorded scene_fpath)")
+    pv.add_argument("--fps", type=float, default=30.0)
 
     pe = sub.add_parser("eval")
     pe.add_argument("--result", type=str, required=True)
@@ -158,9 +173,29 @@ def main(argv=None):
             args.root_dir, dlc_thresh=args.dlc_thresh,
             num_iters=args.num_iters, max_frames=args.max_frames,
             stages=tuple(args.stages.split(",")),
-            warm_start=args.warm_start,
+            warm_start={"auto": "auto", "on": True, "off": False}[args.warm_start],
             relinearize_every=args.relinearize_every,
+            rescue=not args.no_rescue,
         )
+        return 0
+
+    if args.cmd == "view":
+        from .models import cheetah
+        from .pipeline import data as data_io
+        from .pipeline.viewer import export_interactive_html
+
+        payload = data_io.load_pickle(args.result)
+        scene_path = args.scene or payload.get("scene_fpath")
+        scene = None
+        if scene_path and os.path.exists(scene_path):
+            k, d, r, t, _res = data_io.load_scene(scene_path)
+            scene = (k, d, r, t)
+        markers = payload.get("markers") or cheetah.get_markers()
+        out = args.out or os.path.splitext(args.result)[0] + ".html"
+        export_interactive_html(
+            payload["positions"], out, markers=markers, scene=scene, fps=args.fps
+        )
+        print(f"Saved {out} — open in any browser")
         return 0
 
     if args.cmd == "eval":

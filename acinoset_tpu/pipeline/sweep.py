@@ -594,6 +594,13 @@ def solve_batch_ekf(
     return results
 
 
+#: frame count above which the straight-line TRI+linreg init measurably
+#: stops converging in a standard iteration budget (docs/scaling.jsonl:
+#: N=300 cold lands at 0.1 m, N=600 diverges entirely) — warm_start
+#: "auto" switches the EKF init on for groups longer than this
+AUTO_WARM_N = 150
+
+
 def sweep(
     root_dir: str,
     dlc_thresh: float = 0.8,
@@ -601,8 +608,9 @@ def sweep(
     save: bool = True,
     max_frames: Optional[int] = None,
     stages: Sequence[str] = ("fte",),
-    warm_start: bool = False,
+    warm_start="auto",
     relinearize_every: int = 1,
+    rescue: bool = True,
 ) -> List[Dict]:
     """Run batched reconstruction over every run under root_dir
     (all_flick twin). Groups runs by fps (compile signature), solves
@@ -612,9 +620,15 @@ def sweep(
     ``warm_start`` initializes the FTE from the batched EKF stage's
     smoothed poses (the reference's own tri→sba→ekf→fte stage order,
     src/all_optimizations.py:950-983) instead of the TRI+linreg cold
-    start — the EKF runs regardless of whether 'ekf' is in ``stages``;
-    measured to let the GN converge in roughly half the iterations
-    (scripts/warm_start_study.py).
+    start — the EKF runs regardless of whether 'ekf' is in ``stages``.
+    Default "auto": on only for groups longer than AUTO_WARM_N frames,
+    where the cold init measurably diverges; the EKF's cost only pays
+    for itself there (scripts/warm_start_study.py, docs/scaling.jsonl).
+
+    ``rescue``: runs whose stationarity flag comes back unconverged are
+    re-solved once as their own batch at 3x the iteration budget, warm-
+    started from their current solution (robust weights on from
+    iteration 0) — a second chance only the failures pay for.
     """
     from ..utils.cache import enable_persistent_cache
 
@@ -628,8 +642,10 @@ def sweep(
 
     all_results = []
     for fps, group in groups.items():
+        group_n = max(r.pixels.shape[1] for r in group)
+        warm = (group_n > AUTO_WARM_N) if warm_start == "auto" else bool(warm_start)
         ekf_results = None
-        if "ekf" in stages or (warm_start and "fte" in stages):
+        if "ekf" in stages or (warm and "fte" in stages):
             print(f"EKF: {len(group)} runs @ {fps} fps as one batch")
             ekf_results = solve_batch_ekf(group, dlc_thresh)
             if save and "ekf" in stages:
@@ -643,15 +659,28 @@ def sweep(
                 all_results.extend(ekf_results)
         if "fte" in stages:
             print(f"FTE: {len(group)} runs @ {fps} fps as one batch"
-                  + (" (EKF warm start)" if warm_start else ""))
-            X0_override = ekf_warm_starts(ekf_results) if warm_start else None
+                  + (" (EKF warm start)" if warm else ""))
+            X0_override = ekf_warm_starts(ekf_results) if warm else None
             results = solve_batch(
                 group, dlc_thresh, num_iters=num_iters,
                 X0_override=X0_override, relinearize_every=relinearize_every,
                 # the EKF init is already near the optimum and 3σ-gated:
                 # switch the redescending weights on almost immediately
-                plain_iters=(4 if warm_start else None),
+                plain_iters=(4 if warm else None),
             )
+            bad = [i for i, r in enumerate(results) if not r["converged"]]
+            if rescue and bad:
+                print(f"rescue: {len(bad)} unconverged runs re-solved at "
+                      f"{3 * num_iters} iterations")
+                rr = solve_batch(
+                    [group[i] for i in bad], dlc_thresh,
+                    num_iters=3 * num_iters,
+                    X0_override=[results[i]["x"] for i in bad],
+                    relinearize_every=relinearize_every,
+                    plain_iters=0,  # continuing a graduated solve
+                )
+                for i, res in zip(bad, rr):
+                    results[i] = res
             all_results.extend(results)
             if save:
                 for res in results:

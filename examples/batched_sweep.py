@@ -26,7 +26,8 @@ if __name__ == "__main__":
 
     t0 = time.perf_counter()
     results = sweep(args.root_dir, dlc_thresh=args.dlc_thresh,
-                    num_iters=args.num_iters, warm_start=args.warm_start)
+                    num_iters=args.num_iters,
+                    warm_start=(True if args.warm_start else "auto"))
     dt = time.perf_counter() - t0
     n_conv = sum(1 for r in results if r.get("converged", True))
     print(f"\nSolved {len(results)} runs in {dt:.1f} s ({len(results) / dt:.2f} runs/s); "

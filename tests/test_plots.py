@@ -67,3 +67,61 @@ def test_calibration_plots(tmp_path):
     )
     for f in ["corners.png", "und.png", "scene.png"]:
         assert os.path.getsize(tmp_path / f) > 1000
+
+
+def test_interactive_html_viewer(tmp_path):
+    """The headless twin of the reference's pyqtgraph scene viewer
+    (src/calib/plotting.py:133-196): a standalone HTML export with the
+    trajectory embedded as a JS object."""
+    import json
+    import re
+
+    from acinoset_tpu.models import cheetah
+    from acinoset_tpu.pipeline.viewer import export_interactive_html
+
+    import synthetic
+
+    cams = synthetic.ring_cameras(n_cams=3)
+    k, d, r, t, _res = cams
+    X = synthetic.cheetah_gallop(N=12, fps=90.0)
+    import jax, jax.numpy as jnp
+
+    pos = np.array(jax.vmap(cheetah.fk25)(jnp.asarray(X)))
+    pos[3, 5] = np.nan  # missing marker must survive the export
+    out = export_interactive_html(
+        pos, str(tmp_path / "traj.html"), markers=cheetah.get_markers(),
+        scene=(k, d, r, t),
+    )
+    html = open(out).read()
+    assert "getContext('2d')" in html and "const DATA =" in html
+    blob = re.search(r"const DATA = (\{.*?\});\n", html, re.S).group(1)
+    data = json.loads(blob.replace("NaN", "null"))  # NaN is JS-legal, not JSON
+    assert len(data["positions"]) == 12
+    assert len(data["positions"][0]) == cheetah.N_MARKERS
+    assert data["positions"][3][5][0] is None  # the NaN marker
+    assert len(data["cameras"]) == 3
+    assert data["links"], "skeleton edges resolved by marker name"
+
+
+def test_cli_view_roundtrip(tmp_path):
+    """`cli view` exports a viewer HTML from a result pickle."""
+    import subprocess
+    import sys
+
+    from acinoset_tpu.models import cheetah
+    from acinoset_tpu.pipeline import app
+
+    import synthetic
+    import jax, jax.numpy as jnp
+
+    X = synthetic.cheetah_gallop(N=8, fps=90.0)
+    pos = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(X)))
+    pkl = tmp_path / "fte.pickle"
+    app.save_optimised_cheetah(pos, str(pkl))
+    r = subprocess.run(
+        [sys.executable, "-m", "acinoset_tpu.cli", "view", "--result", str(pkl)],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "fte.html").exists()
