@@ -16,12 +16,29 @@ _enabled = False
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    """Enable the persistent cache for TPU runs. Returns the cache dir,
+    or "" when disabled.
+
+    Disabled on the CPU backend unless ACINOSET_JAX_CACHE (or
+    ``cache_dir``) explicitly requests a directory: XLA:CPU cache
+    entries are AOT-compiled against the writer's exact machine
+    features, and loading a mismatched entry can SIGILL/segfault
+    (observed as intermittent pytest crashes in
+    ``backend_compile_and_load``). CPU compiles are cheap anyway — the
+    cache exists to amortize the tunneled TPU compiles.
+    ACINOSET_JAX_CACHE="" force-disables everywhere.
+    """
     global _enabled
     import jax
 
     if _enabled:
         return _DEFAULT_DIR
-    path = cache_dir or os.environ.get("ACINOSET_JAX_CACHE", _DEFAULT_DIR)
+    env = os.environ.get("ACINOSET_JAX_CACHE")
+    if cache_dir is None and env == "":  # explicitly disabled
+        return ""
+    path = cache_dir or env or _DEFAULT_DIR
+    if cache_dir is None and env is None and jax.default_backend() == "cpu":
+        return ""
     os.makedirs(path, exist_ok=True)
     try:
         if not jax.config.jax_compilation_cache_dir:

@@ -13,6 +13,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# hard-disable the persistent compile cache: pipeline entry points
+# (sweep/cli) enable it internally, and XLA:CPU cache entries are
+# machine-feature-pinned AOT code whose load can SIGILL/segfault
+# (observed as intermittent suite crashes in backend_compile_and_load)
+os.environ["ACINOSET_JAX_CACHE"] = ""
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
