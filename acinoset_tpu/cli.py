@@ -26,6 +26,9 @@ def _add_run_args(p):
     p.add_argument("--dlc_thresh", type=float, default=0.8,
                    help="Likelihood below which dlc points are excluded")
     p.add_argument("--plot", action="store_true", help="Show plots")
+    p.add_argument("--uncertainty", action="store_true",
+                   help="FTE stage: compute Laplace-posterior per-marker "
+                   "1-sigma error bars (marker_std in fte.pickle)")
 
 
 def main(argv=None):
@@ -129,7 +132,8 @@ def main(argv=None):
             elif stage == "fte":
                 from .pipeline.fte import fte
 
-                fte(args.data_dir, args.start_frame, args.end_frame, args.dlc_thresh)
+                fte(args.data_dir, args.start_frame, args.end_frame, args.dlc_thresh,
+                    uncertainty=args.uncertainty)
         if args.cmd == "all":
             from .pipeline.plots import plot_multiple_cheetah_reconstructions
 

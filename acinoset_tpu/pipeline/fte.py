@@ -77,8 +77,14 @@ def fte_run(
     frames: Optional[np.ndarray] = None,
     num_iters: int = 60,
     dtype=jnp.float64,
+    uncertainty: bool = False,
 ) -> Dict:
-    """Functional core: solve one trajectory. Returns positions + states."""
+    """Functional core: solve one trajectory. Returns positions + states.
+
+    ``uncertainty`` adds the Laplace-posterior pass (trajopt.fte_solve
+    compute_cov): ``marker_std`` (N, L, 3) per-marker 1-sigma position
+    error bars in meters and ``pose_cov`` (N, P, P) — capability the
+    reference's IPOPT pipeline never exposed."""
     C, N, L, _ = pixels.shape
     frames = frames if frames is not None else np.arange(N)
     cfg = default_config(fps, num_iters=num_iters)
@@ -96,7 +102,8 @@ def fte_run(
 
     X, info = jax.jit(
         lambda X0_, meas_, w_: trajopt.fte_solve(
-            h_fn, X0_, meas_, w_, cfg, hj_parts_fn=hj_parts
+            h_fn, X0_, meas_, w_, cfg, hj_parts_fn=hj_parts,
+            compute_cov=uncertainty,
         )
     )(jnp.asarray(X0, dtype), meas, w_meas)
 
@@ -106,7 +113,7 @@ def fte_run(
     print(f"FTE solve: cost {float(info['cost0']):.1f} -> {float(info['cost']):.1f} "
           f"(grad_norm {float(info['grad_norm']):.3g}; "
           f"{'converged' if converged else 'NOT converged — raise num_iters'})")
-    return dict(
+    out = dict(
         positions=positions,
         x=np.asarray(X),
         dx=np.asarray(dx),
@@ -117,6 +124,12 @@ def fte_run(
         converged=converged,
         grad_norm=float(info["grad_norm"]),
     )
+    if uncertainty:
+        out["marker_std"] = np.asarray(info["marker_std"])
+        out["pose_cov"] = np.asarray(info["pose_cov"])
+        print(f"posterior marker std: median "
+              f"{1e3 * float(np.median(out['marker_std'])):.1f} mm")
+    return out
 
 
 def fte(
@@ -127,6 +140,7 @@ def fte(
     out_dir: Optional[str] = None,
     save: bool = True,
     num_iters: int = 60,
+    uncertainty: bool = False,
 ) -> Dict:
     """CLI-contract entry point (1-based start_frame like the reference)."""
     out_dir = out_dir or os.path.join(data_dir, "fte")
@@ -148,7 +162,7 @@ def fte(
 
     result = fte_run(
         win.pixels, win.likelihood, k_arr, d_arr, r_arr, t_arr, fps, dlc_thresh,
-        frames=win.frames, num_iters=num_iters,
+        frames=win.frames, num_iters=num_iters, uncertainty=uncertainty,
     )
     if save:
         os.makedirs(out_dir, exist_ok=True)
@@ -163,6 +177,8 @@ def fte(
             cost=result["cost"], cost0=result["cost0"],
             converged=result["converged"], grad_norm=result["grad_norm"],
         )
+        if uncertainty:
+            states["marker_std"] = result["marker_std"]
         app.save_optimised_cheetah(
             result["positions"], os.path.join(out_dir, "fte.pickle"), extra_data=states
         )

@@ -416,6 +416,74 @@ def banded_pcg_solve(
     )
 
 
+@f32_matmuls
+def block_banded_marginal_covariance(bands: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Per-frame diagonal blocks of inv(A) for the SPD block-banded A
+    (bandwidth 3) — the marginal covariances when A is a precision
+    matrix.
+
+    Two-sided Schur-complement recurrence (the RGF scheme) on the
+    3-frame-grouped block-tridiagonal form: with D_m the diagonal and
+    B_m the sub-diagonal super-blocks,
+
+        F_m = D_m - B_m F_{m-1}^-1 B_m^T        (forward sweep)
+        G_m = D_m - B_{m+1}^T G_{m+1}^-1 B_{m+1}  (backward sweep)
+        inv(A)_mm = (F_m + G_m - D_m)^-1 ,
+
+    so the marginal covariance of every group falls out of two scans of
+    SPD Schur steps without forming the dense (NP, NP) inverse. Every
+    intermediate is itself an SPD Schur complement of A (eigenvalues
+    bounded below by A's), which is what makes this numerically stable
+    where the Takahashi/Erisman–Tinney in-band recurrence explodes on
+    the FTE's ~1e8-conditioned Hessians (measured: negative variances
+    at N=50; this form stays positive and matches the dense inverse).
+
+    This powers the FTE's Laplace posterior (per-frame pose covariance
+    -> per-marker error bars), something the reference's IPOPT pipeline
+    never exposed (the KKT factorization is discarded,
+    src/all_optimizations.py:503-516). Uses the trace-time-unrolled
+    small-matrix Cholesky (`_chol_inv_unrolled`) — matmul/elementwise
+    only, no native cholesky/triangular kernels.
+
+    bands: [A0..A3], Ak[n] = block (n, n-k), A0 the diagonal blocks.
+    Returns Z (N, P, P) with Z[n] = block (n, n) of inv(A).
+    """
+    N, P, _ = bands[0].shape
+    diag, lower, M, pad = group_bands_tridiagonal(bands)
+    G = diag.shape[-1]
+    dtype = diag.dtype
+    eye = jnp.eye(G, dtype=dtype)
+
+    def fwd_step(Li_prev, inp):
+        d, l = inp
+        Loff = l @ Li_prev.T  # B_m chol(F_{m-1})^{-T}
+        F = d - Loff @ Loff.T
+        _L, Li = _chol_inv_unrolled(F)
+        return Li, F
+
+    _, F = jax.lax.scan(fwd_step, eye, (diag, lower))  # lower[0] = 0 -> F_0 = D_0
+
+    B_next = jnp.concatenate([lower[1:], jnp.zeros((1, G, G), dtype)])
+
+    def bwd_step(Ki_next, inp):
+        d, bn = inp
+        Koff = _T(bn) @ Ki_next.T  # B_{m+1}^T chol(G_{m+1})^{-T}
+        Gm = d - Koff @ Koff.T
+        _L, Ki = _chol_inv_unrolled(Gm)
+        return Ki, Gm
+
+    _, Gmat = jax.lax.scan(bwd_step, eye, (diag, B_next), reverse=True)
+
+    # group-marginal precision -> covariance, one batched unrolled factor
+    _L, Li = _chol_inv_unrolled(F + Gmat - diag)
+    Z = jnp.einsum("mki,mkj->mij", Li, Li)  # (M, G, G)
+    # per-frame (P, P) diagonal sub-blocks, padding dropped
+    Zf = jnp.stack(
+        [Z[:, j * P:(j + 1) * P, j * P:(j + 1) * P] for j in range(3)], axis=1
+    )
+    return Zf.reshape(-1, P, P)[:N]
+
+
 def banded_matvec(bands: Sequence[jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
     """y = A x for the symmetric block-banded A (testing utility)."""
     q = len(bands) - 1

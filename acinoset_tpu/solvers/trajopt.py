@@ -49,6 +49,7 @@ from .banded import (
     banded_cg_solve,
     banded_solve_grouped,
     block_banded_cholesky,
+    block_banded_marginal_covariance,
     block_banded_solve,
     block_banded_solve_unrolled,
     pcg_solve,
@@ -170,8 +171,22 @@ def fte_solve(
     n_valid=None,
     hj_fn=None,
     hj_parts_fn=None,
+    compute_cov: bool = False,
 ):
     """Solve one FTE trajectory. Returns (X, info dict).
+
+    ``compute_cov`` (static) adds a Laplace-posterior pass at the
+    solution: the diagonal blocks of the inverse objective Hessian via
+    the two-sided banded Schur recurrence (`solvers.banded.
+    block_banded_marginal_covariance`) give ``info["pose_cov"]`` — the
+    (N, P, P) per-frame marginal covariance of the pose states — and,
+    in hj_parts mode, ``info["marker_cov"]``/``info["marker_std"]``:
+    per-marker 3D covariance/std in meters (J_fk Sigma J_fk^T). The
+    reference's IPOPT pipeline never exposed this (the KKT factorization
+    is discarded, src/all_optimizations.py:503-516). Unobserved
+    directions honestly surface as huge variances. The GN (IRLS-
+    weighted) Hessian approximates the robust likelihood's curvature;
+    with relinearize_every > 1 the last refreshed Jacobian is used.
 
     Fully jit-able; vmap over leading batch of (X0, meas, w_meas) for
     multi-trajectory solves.
@@ -300,13 +315,13 @@ def fte_solve(
 
     lag = max(int(cfg.relinearize_every), 1)
     h_only_batch = jax.vmap(h_flat)
+    wq = 1.0 / q  # (P,)
 
-    def gn_step(carry, it):
-        X, hX, JX, lam, cost, need_refresh = carry
-        robust_on = it >= cfg.plain_iters
-
-        # ---- measurement GN pieces, frame-local (hX, JX carried from
-        # the previous iteration's candidate evaluation)
+    def meas_normal_pieces(hX, JX, robust_on):
+        """Measurement GN pieces at a linearization point (hX, JX):
+        residuals e, Gauss-Newton Hessian H_meas (N, P, P), gradient
+        g_meas (N, P). Shared by the iteration and the posterior-
+        covariance pass."""
         e = w_flat_all * (hX - meas_flat)  # (N, m) scaled residuals
         w_irls = jnp.where(robust_on, meas_irls(e), 1.0)
         if hj_parts_fn is not None:
@@ -326,17 +341,41 @@ def fte_solve(
             Wm = w_irls  # (N, m)
             H_meas = jnp.einsum("nmi,nm,nmj->nij", J, Wm, J)  # (N, P, P)
             g_meas = jnp.einsum("nmi,nm,nm->ni", J, Wm, e)  # (N, P)
+        return H_meas, g_meas
+
+    def limit_hessian(X):
+        viol_lo = jnp.maximum(lo - X, 0.0)
+        viol_hi = jnp.maximum(X - hi, 0.0)
+        h_lim = 2.0 * cfg.limit_penalty * ((viol_lo > 0) | (viol_hi > 0)).astype(dtype)
+        return viol_lo, viol_hi, h_lim
+
+    def hessian_bands(H_meas, h_lim):
+        """Undamped objective-Hessian bands: 2x model gram + measurement
+        GN blocks + active limit-penalty diagonal."""
+        bands = []
+        for k in range(4):
+            bk = gram_bands[k][:, None] * wq[None, :]  # (N, P)
+            Bk = jnp.zeros((N, P, P), dtype).at[:, jnp.arange(P), jnp.arange(P)].set(bk)
+            bands.append(2.0 * Bk)
+        bands[0] = bands[0] + H_meas
+        bands[0] = bands[0].at[:, jnp.arange(P), jnp.arange(P)].add(h_lim)
+        return bands
+
+    def gn_step(carry, it):
+        X, hX, JX, lam, cost, need_refresh = carry
+        robust_on = it >= cfg.plain_iters
+
+        # ---- measurement GN pieces, frame-local (hX, JX carried from
+        # the previous iteration's candidate evaluation)
+        H_meas, g_meas = meas_normal_pieces(hX, JX, robust_on)
 
         # ---- model (third-difference) pieces, banded
         d3 = third_difference(X, cfg.Ts) * row_mask[:, None]  # (N-3, P)
-        wq = 1.0 / q  # (P,)
         g_model = _d3_correlate(d3 * wq, cfg.Ts)  # = D3^T M W D3 X
 
         # ---- limits (quadratic penalty), frame-local diagonal
-        viol_lo = jnp.maximum(lo - X, 0.0)
-        viol_hi = jnp.maximum(X - hi, 0.0)
+        viol_lo, viol_hi, h_lim = limit_hessian(X)
         g_lim = 2.0 * cfg.limit_penalty * (viol_hi - viol_lo)  # d/dX of penalty
-        h_lim = 2.0 * cfg.limit_penalty * ((viol_lo > 0) | (viol_hi > 0)).astype(dtype)
 
         # gradients: the model term sum w*d3^2 has no 1/2 so its gradient
         # carries a 2; the measurement rho is ~e^2/2 near zero so its GN
@@ -345,13 +384,7 @@ def fte_solve(
         # again on every refresh iteration)
         g = g_meas + 2.0 * g_model + g_lim  # (N, P)
 
-        bands = []
-        for k in range(4):
-            bk = gram_bands[k][:, None] * wq[None, :]  # (N, P)
-            Bk = jnp.zeros((N, P, P), dtype).at[:, jnp.arange(P), jnp.arange(P)].set(bk)
-            bands.append(2.0 * Bk)
-        bands[0] = bands[0] + H_meas
-        bands[0] = bands[0].at[:, jnp.arange(P), jnp.arange(P)].add(h_lim)
+        bands = hessian_bands(H_meas, h_lim)
         # LM damping
         diag0 = bands[0][:, jnp.arange(P), jnp.arange(P)]
         damp = lam * jnp.maximum(diag0, 1e-8)
@@ -446,11 +479,38 @@ def fte_solve(
 
     h0, J0 = hj_batch(X0)
     cost0 = objective_from_h(X0, h0)
-    (X, _, _, lam, cost, _), (cost_hist, gnorm_hist) = jax.lax.scan(
+    (X, hX, JX, lam, cost, _), (cost_hist, gnorm_hist) = jax.lax.scan(
         gn_step,
         (X0, h0, J0, jnp.asarray(cfg.lam0, dtype), cost0, jnp.asarray(False)),
         jnp.arange(cfg.num_iters),
     )
+    extra = {}
+    if compute_cov:
+        # Laplace posterior at the solution: undamped Hessian bands at
+        # the final accepted (X, hX, JX), Jacobi-scaled for f32 Cholesky
+        # stability, selected-inverted, unscaled back
+        robust_fin = jnp.asarray(cfg.num_iters > cfg.plain_iters)
+        H_meas_f, _g_unused = meas_normal_pieces(hX, JX, robust_fin)
+        _vl, _vh, h_lim_f = limit_hessian(X)
+        bands_f = hessian_bands(H_meas_f, h_lim_f)
+        diag_f = bands_f[0][:, jnp.arange(P), jnp.arange(P)]
+        s = 1.0 / jnp.sqrt(jnp.maximum(diag_f, 1e-20))  # (N, P)
+        zpad = jnp.zeros((3, P), dtype)
+        s_shift = [s] + [
+            jnp.concatenate([zpad[:k], s[:-k]], axis=0) for k in range(1, 4)
+        ]
+        bands_s = [
+            bands_f[k] * s[:, :, None] * s_shift[k][:, None, :] for k in range(4)
+        ]
+        Zs = block_banded_marginal_covariance(bands_s)
+        pose_cov = Zs * s[:, :, None] * s[:, None, :]
+        extra["pose_cov"] = pose_cov
+        if hj_parts_fn is not None:
+            _JpX, JfkX = JX
+            mc = jnp.einsum("nlxa,nab,nlyb->nlxy", JfkX, pose_cov, JfkX)
+            extra["marker_cov"] = mc
+            extra["marker_std"] = jnp.sqrt(jnp.clip(
+                jnp.diagonal(mc, axis1=-2, axis2=-1), 0.0, None))
     X = jnp.clip(X, lo, hi)
     # solver-status surfacing (the reference streamed IPOPT's termination
     # status, SURVEY.md §5): converged = stationarity, the Jacobi-scaled
@@ -461,7 +521,7 @@ def fte_solve(
     converged = grad_norm <= cfg.stat_tol
     return X, dict(
         cost=cost, cost0=cost0, cost_history=cost_hist, lam=lam,
-        converged=converged, grad_norm=grad_norm,
+        converged=converged, grad_norm=grad_norm, **extra,
     )
 
 

@@ -153,3 +153,44 @@ def test_banded_pcg_fte_like(rng):
     num = np.linalg.norm(np.asarray(x) - x_ref)
     den = np.linalg.norm(x_ref)
     assert num / den < 5e-3, num / den
+
+
+def test_banded_marginal_covariance_matches_dense(rng):
+    """Two-sided Schur (RGF) marginal covariance vs dense inverse, on a
+    well-conditioned matrix and on an FTE-like ~1e5-conditioned one,
+    with N both a multiple of 3 and not (pad path)."""
+    for N, P in ((12, 5), (13, 4)):
+        A, bands = make_spd_banded(rng, N, P)
+        Z = np.asarray(
+            banded.block_banded_marginal_covariance([jnp.asarray(B) for B in bands])
+        )
+        Zd = np.linalg.inv(A)
+        for n in range(N):
+            np.testing.assert_allclose(
+                Z[n], Zd[n * P:(n + 1) * P, n * P:(n + 1) * P], atol=1e-10
+            )
+    # ill-conditioned (smoothness-style strong coupling + small ridge):
+    # the regime where the Takahashi in-band recurrence measured
+    # negative variances — this form must stay PD and accurate
+    N, P = 31, 3
+    dense = np.zeros((N * P, N * P))
+    for n in range(N):
+        for k in range(4):
+            if n - k >= 0:
+                dense[n * P:(n + 1) * P, (n - k) * P:(n - k + 1) * P] = (
+                    rng.normal(size=(P, P)) * 0.45
+                )
+    A = dense @ dense.T + np.eye(N * P) * 1e-4
+    bands = []
+    for k in range(4):
+        Bk = np.zeros((N, P, P))
+        for n in range(k, N):
+            Bk[n] = A[n * P:(n + 1) * P, (n - k) * P:(n - k + 1) * P]
+        bands.append(jnp.asarray(Bk))
+    Z = np.asarray(banded.block_banded_marginal_covariance(bands))
+    Zd = np.linalg.inv(A)
+    dz = np.diagonal(Z, axis1=-2, axis2=-1)
+    assert dz.min() > 0
+    for n in range(N):
+        ref = Zd[n * P:(n + 1) * P, n * P:(n + 1) * P]
+        np.testing.assert_allclose(Z[n], ref, rtol=1e-5, atol=1e-7 * np.abs(Zd).max())
