@@ -66,6 +66,9 @@ def main(argv=None):
     ps.add_argument("--relinearize_every", type=int, default=1,
                     help="lagged-Jacobian GN: refresh the measurement "
                     "Jacobian every k iterations (1 = every)")
+    ps.add_argument("--uncertainty", action="store_true",
+                    help="FTE stage: per-marker 1-sigma error bars in "
+                    "each run's results (Laplace posterior)")
     ps.add_argument("--no_rescue", action="store_true",
                     help="disable the automatic 3x-iteration re-solve of "
                     "runs whose stationarity flag is unconverged")
@@ -180,6 +183,7 @@ def main(argv=None):
             warm_start={"auto": "auto", "on": True, "off": False}[args.warm_start],
             relinearize_every=args.relinearize_every,
             rescue=not args.no_rescue,
+            uncertainty=args.uncertainty,
         )
         return 0
 

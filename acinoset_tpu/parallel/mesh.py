@@ -95,14 +95,17 @@ def pad_batch(arrs: Sequence[np.ndarray], multiple: int):
 
 
 def sharded_fte_solver(mesh: Mesh, h_fn, cfg, shard_cameras: bool = True,
-                       hj_parts_fn=None, with_status: bool = False):
+                       hj_parts_fn=None, with_status: bool = False,
+                       compute_cov: bool = False):
     """Return a jitted batched FTE solver with mesh shardings baked in.
 
     The returned fn maps (X0 (B,N,P), meas (B,N,C,L,2), w (B,N,C,L)) ->
     X (B,N,P), sharded over 'data' (and cameras over 'model' inside the
     measurement reduction when available). With ``with_status`` it
     returns (X, converged (B,), grad_norm (B,)) — the per-trajectory
-    stationarity flags (see trajopt.fte_solve)."""
+    stationarity flags (see trajopt.fte_solve) — and, with
+    ``compute_cov`` additionally set, (..., marker_std (B,N,L,3)): the
+    Laplace-posterior error bars from the same jitted program."""
     from ..solvers.trajopt import fte_solve
 
     sx, sm, sw = batch_spec(mesh, shard_cameras)
@@ -117,13 +120,19 @@ def sharded_fte_solver(mesh: Mesh, h_fn, cfg, shard_cameras: bool = True,
     if with_status:
         def batched(X0, meas, w):
             def one(a, b, c):
-                X, info = fte_solve(h_fn, a, b, c, cfg, hj_parts_fn=hj_parts_fn)
-                return X, info["converged"], info["grad_norm"]
+                X, info = fte_solve(h_fn, a, b, c, cfg, hj_parts_fn=hj_parts_fn,
+                                    compute_cov=compute_cov)
+                out = (X, info["converged"], info["grad_norm"])
+                if compute_cov:
+                    out = out + (info["marker_std"],)
+                return out
 
             return jax.vmap(one)(X0, meas, w)
 
-        return jax.jit(batched, in_shardings=in_shardings,
-                       out_shardings=(out_x, out_b, out_b))
+        out_sh = (out_x, out_b, out_b)
+        if compute_cov:
+            out_sh = out_sh + (NamedSharding(mesh, P("data", None, None, None)),)
+        return jax.jit(batched, in_shardings=in_shardings, out_shardings=out_sh)
 
     def batched(X0, meas, w):
         return jax.vmap(

@@ -107,8 +107,8 @@ def _pad_run(run: RunData, N: int, C: int):
 _SOLVER_CACHE: Dict = {}
 
 
-def _cached_batch_solver(cfg, dtype):
-    key = (cfg, str(dtype))
+def _cached_batch_solver(cfg, dtype, uncertainty=False):
+    key = (cfg, str(dtype), uncertainty)
     if key not in _SOLVER_CACHE:
         h = _h_fn_aux(dtype)
 
@@ -117,14 +117,18 @@ def _cached_batch_solver(cfg, dtype):
         def batched(X0, meas, w, aux, nv):
             def one(a, b, c, x, n):
                 X, info = trajopt.fte_solve(
-                    h, a, b, c, cfg, aux=x, n_valid=n, hj_parts_fn=hj_parts_aux
+                    h, a, b, c, cfg, aux=x, n_valid=n, hj_parts_fn=hj_parts_aux,
+                    compute_cov=uncertainty,
                 )
                 # per-run solver status rides out of the jit alongside X
                 # (the reference surfaced IPOPT's termination status)
-                return X, dict(
+                status = dict(
                     cost=info["cost"], cost0=info["cost0"],
                     converged=info["converged"], grad_norm=info["grad_norm"],
                 )
+                if uncertainty:
+                    status["marker_std"] = info["marker_std"]
+                return X, status
 
             return jax.vmap(one)(X0, meas, w, aux, nv)
 
@@ -163,8 +167,13 @@ def solve_batch(
     X0_override: Optional[Sequence[np.ndarray]] = None,
     relinearize_every: int = 1,
     plain_iters: Optional[int] = None,
+    uncertainty: bool = False,
 ) -> List[Dict]:
     """Solve a group of runs (same fps) as one sharded batched program.
+
+    ``uncertainty`` adds the Laplace-posterior pass inside the same
+    jitted batch (trajopt.fte_solve compute_cov): each result dict gains
+    ``marker_std`` (n_i, L, 3) — per-marker 1-sigma error bars.
 
     ``X0_override`` (optional, one (n_i, P) array per run — e.g. the
     batched EKF stage's smoothed poses) replaces the TRI+linreg
@@ -224,7 +233,7 @@ def solve_batch(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     shard = NamedSharding(mesh, P("data"))
-    solver = _cached_batch_solver(cfg, dtype)
+    solver = _cached_batch_solver(cfg, dtype, uncertainty)
 
     # pad batch to the data-axis size
     n_dev = mesh.shape["data"]
@@ -275,6 +284,8 @@ def solve_batch(
                 cost0=float(status["cost0"][i]),
                 converged=bool(status["converged"][i]),
                 grad_norm=float(status["grad_norm"][i]),
+                **({"marker_std": status["marker_std"][i, :n0].astype(np.float64)}
+                   if uncertainty else {}),
             )
         )
     return results
@@ -478,6 +489,8 @@ def solve_batch_generic(
                 cost0=float(status["cost0"][i]),
                 converged=bool(status["converged"][i]),
                 grad_norm=float(status["grad_norm"][i]),
+                **({"marker_std": status["marker_std"][i, :n0].astype(np.float64)}
+                   if uncertainty else {}),
             )
         )
     return results
@@ -611,6 +624,7 @@ def sweep(
     warm_start="auto",
     relinearize_every: int = 1,
     rescue: bool = True,
+    uncertainty: bool = False,
 ) -> List[Dict]:
     """Run batched reconstruction over every run under root_dir
     (all_flick twin). Groups runs by fps (compile signature), solves
@@ -667,6 +681,7 @@ def sweep(
                 # the EKF init is already near the optimum and 3σ-gated:
                 # switch the redescending weights on almost immediately
                 plain_iters=(4 if warm else None),
+                uncertainty=uncertainty,
             )
             bad = [i for i, r in enumerate(results) if not r["converged"]]
             if rescue and bad:
@@ -678,6 +693,7 @@ def sweep(
                     X0_override=[results[i]["x"] for i in bad],
                     relinearize_every=relinearize_every,
                     plain_iters=0,  # continuing a graduated solve
+                    uncertainty=uncertainty,
                 )
                 for i, res in zip(bad, rr):
                     results[i] = res

@@ -493,6 +493,13 @@ def fte_solve(
         H_meas_f, _g_unused = meas_normal_pieces(hX, JX, robust_fin)
         _vl, _vh, h_lim_f = limit_hessian(X)
         bands_f = hessian_bands(H_meas_f, h_lim_f)
+        if n_valid is not None:
+            # padded frames carry zero measurement weight AND masked
+            # smoothness rows — an all-zero Hessian block whose Cholesky
+            # would poison the backward recurrence (0 @ nan = nan). Pin
+            # them to identity precision; callers trim frames >= n_valid.
+            pad_frame = (jnp.arange(N) >= n_valid).astype(dtype)
+            bands_f[0] = bands_f[0] + pad_frame[:, None, None] * jnp.eye(P, dtype=dtype)
         diag_f = bands_f[0][:, jnp.arange(P), jnp.arange(P)]
         s = 1.0 / jnp.sqrt(jnp.maximum(diag_f, 1e-20))  # (N, P)
         zpad = jnp.zeros((3, P), dtype)
@@ -502,6 +509,15 @@ def fte_solve(
         bands_s = [
             bands_f[k] * s[:, :, None] * s_shift[k][:, None, :] for k in range(4)
         ]
+        if dtype == jnp.float32:
+            # the Jacobi-scaled Hessian's ~1e8 conditioning exceeds
+            # 1/eps_f32: rounding drives Schur pivots negative and the
+            # clamped inverses overflow to inf -> nan. A weak prior
+            # ridge (1e-6 of the unit-scaled diagonal) keeps every pivot
+            # positive. Measured vs the f64 posterior on the synthetic
+            # fixture: median std ratio 0.975 (5th pct 0.69 — only the
+            # near-floppy tail is shrunk). f64 needs none (1e-12 exact).
+            bands_s[0] = bands_s[0] + 1e-6 * jnp.eye(P, dtype=dtype)
         Zs = block_banded_marginal_covariance(bands_s)
         pose_cov = Zs * s[:, :, None] * s[:, None, :]
         extra["pose_cov"] = pose_cov

@@ -31,6 +31,8 @@ Env overrides:
   BENCH_MIXED=1  — ALSO time the heterogeneous sweep path (per-run rigs
                    as vmapped aux, ragged n_valid) and report it as an
                    extra field
+  BENCH_UNCERTAINTY=1 — ALSO time the solve with the Laplace-posterior
+                   pass (per-marker error bars) and report its overhead
   BENCH_FLOPS=1  — report XLA cost-analysis sustained FLOP/s
 """
 import json
@@ -184,6 +186,25 @@ def main():
         )
     extra["n_converged"] = int(np.asarray(converged).sum())
     extra["max_grad_norm"] = round(float(np.asarray(grad_norm).max()), 4)
+
+    if os.environ.get("BENCH_UNCERTAINTY"):
+        # Laplace-posterior pass overhead: same program + the banded RGF
+        # marginal-covariance scan at the solution (marker_std out)
+        usolver = mesh_lib.sharded_fte_solver(
+            mesh, h, cfg, hj_parts_fn=hj_parts, with_status=True,
+            compute_cov=True,
+        )
+        with mesh:
+            uout = usolver(X0s, meass, ws)
+            jax.block_until_ready(uout)
+            ubest = _best_time(
+                lambda: jax.block_until_ready(usolver(X0s, meass, ws)), repeats
+            )
+        extra["uncertainty_sec"] = round(ubest, 4)
+        extra["uncertainty_overhead_pct"] = round(100.0 * (ubest - best) / best, 1)
+        extra["median_marker_std_mm"] = round(
+            1e3 * float(np.median(np.asarray(uout[3]))), 2
+        )
 
     if os.environ.get("BENCH_FLOPS"):
         try:

@@ -242,3 +242,33 @@ def test_sweep_auto_warm_start_threshold():
     # decision logic mirrors sweep(): group_n > AUTO_WARM_N
     assert not (100 > sweep.AUTO_WARM_N)
     assert 300 > sweep.AUTO_WARM_N
+
+
+def test_sweep_uncertainty_batched(dataset_root):
+    """Laplace-posterior error bars through the batched f32 sweep path:
+    marker_std rides out of the jitted vmapped program per run, stays
+    positive/finite, and agrees with the f64 single-run fte_run posterior
+    to within a factor ~2 (different init + f32 RGF recurrence)."""
+    from acinoset_tpu.pipeline.fte import fte_run
+
+    root, _gts, _widths = dataset_root
+    results = sweep.sweep(root, dlc_thresh=0.5, num_iters=40, save=False,
+                          warm_start=False, uncertainty=True)
+    assert len(results) == 3
+    for res in results:
+        std = res["marker_std"]
+        n = res["positions"].shape[0]
+        assert std.shape == (n, cheetah.N_MARKERS, 3)
+        assert np.all(np.isfinite(std)) and std.min() > 0
+        assert 1e-3 < np.median(std) < 5e-2, np.median(std)
+    # f64 single-run cross-check on one run
+    res = results[0]
+    from glob import glob as _glob
+    import os as _os
+    dlc = sorted(_glob(_os.path.join(res["data_dir"], "dlc", "*.h5")))
+    p2d = data.load_dlc_points(dlc, markers=cheetah.get_markers())
+    k, d, r, t, _ = data.load_scene(res["scene_fpath"])
+    single = fte_run(p2d.pixels, p2d.likelihood, k, d, r, t,
+                     fps=90.0, dlc_thresh=0.5, num_iters=40, uncertainty=True)
+    ratio = np.median(res["marker_std"]) / np.median(single["marker_std"])
+    assert 0.5 < ratio < 2.0, ratio
