@@ -201,7 +201,8 @@ def main(argv=None):
         markers = payload.get("markers") or cheetah.get_markers()
         out = args.out or os.path.splitext(args.result)[0] + ".html"
         export_interactive_html(
-            payload["positions"], out, markers=markers, scene=scene, fps=args.fps
+            payload["positions"], out, markers=markers, scene=scene, fps=args.fps,
+            marker_std=payload.get("marker_std"),
         )
         print(f"Saved {out} — open in any browser")
         return 0

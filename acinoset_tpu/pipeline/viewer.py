@@ -97,6 +97,16 @@ function draw(){
     const u=proj(p), v=proj(q);
     ctx.beginPath(); ctx.moveTo(u[0],u[1]); ctx.lineTo(v[0],v[1]); ctx.stroke();
   }
+  // 1-sigma posterior error bars (world-radius -> screen px at depth)
+  if (DATA.std){
+    const st=DATA.std[fi], pxPerWorld=Math.min(cv.width,cv.height)/2.2/dist*2.2;
+    ctx.strokeStyle='rgba(120,200,255,0.45)';
+    for(let l=0;l<fr.length;l++){
+      const p=fr[l]; if(!isFinite(p[0])||!st[l]) continue;
+      const q=proj(p), r=2*st[l]*pxPerWorld*q[2];  // 2-sigma circle
+      ctx.beginPath(); ctx.arc(q[0],q[1],Math.max(r,1),0,6.3); ctx.stroke();
+    }
+  }
   ctx.fillStyle='#fff';
   for(const p of fr){ if(!isFinite(p[0])) continue; const q=proj(p);
     ctx.beginPath(); ctx.arc(q[0],q[1],3*q[2],0,6.3); ctx.fill(); }
@@ -126,13 +136,16 @@ def export_interactive_html(
     scene: Optional[tuple] = None,  # (k_arr, d_arr, r_arr, t_arr)
     fps: float = 30.0,
     trace_marker: str = "nose",
+    marker_std: Optional[np.ndarray] = None,  # (N, L, 3) 1-sigma meters
 ) -> str:
     """Write a self-contained interactive HTML viewer for a trajectory.
 
     ``links`` are marker-index pairs; by default the cheetah skeleton
     edges are resolved against ``markers`` by name. ``scene`` draws
     camera positions/frusta (world pose from R, T as in the scene JSON).
-    Returns the output path.
+    ``marker_std`` (from the FTE Laplace posterior, `fte --uncertainty`)
+    draws a translucent 2-sigma circle around each marker, scaled with
+    the view. Returns the output path.
     """
     positions = np.asarray(positions, np.float64)
     N, L, _ = positions.shape
@@ -158,11 +171,17 @@ def export_interactive_html(
     trace_idx = 0
     if markers and trace_marker in markers:
         trace_idx = list(markers).index(trace_marker)
+    std = None
+    if marker_std is not None:
+        # scalar per marker per frame: RMS of the 3 axis stds
+        std = np.sqrt(np.mean(np.asarray(marker_std, np.float64) ** 2, axis=-1))
+        std = np.where(np.isfinite(std), std, 0.0).tolist()
     payload = dict(
         positions=positions.tolist(),
         links=[list(map(int, l)) for l in links],
         cameras=cameras,
         trace_idx=int(trace_idx),
+        std=std,
     )
     # NaN is a valid JS literal inside the inlined object (the renderer
     # skips non-finite points), so allow_nan stays on

@@ -88,9 +88,11 @@ def test_interactive_html_viewer(tmp_path):
 
     pos = np.array(jax.vmap(cheetah.fk25)(jnp.asarray(X)))
     pos[3, 5] = np.nan  # missing marker must survive the export
+    std = np.full((12, cheetah.N_MARKERS, 3), 0.01)
+    std[3, 5] = np.nan  # non-finite std must export as 0, not NaN
     out = export_interactive_html(
         pos, str(tmp_path / "traj.html"), markers=cheetah.get_markers(),
-        scene=(k, d, r, t),
+        scene=(k, d, r, t), marker_std=std,
     )
     html = open(out).read()
     assert "getContext('2d')" in html and "const DATA =" in html
@@ -101,6 +103,11 @@ def test_interactive_html_viewer(tmp_path):
     assert data["positions"][3][5][0] is None  # the NaN marker
     assert len(data["cameras"]) == 3
     assert data["links"], "skeleton edges resolved by marker name"
+    # posterior error bars: scalar RMS std per marker per frame
+    s = np.array(data["std"])
+    assert s.shape == (12, cheetah.N_MARKERS)
+    np.testing.assert_allclose(s[0, 0], 0.01, rtol=1e-12)
+    assert s[3, 5] == 0.0
 
 
 def test_cli_view_roundtrip(tmp_path):
