@@ -147,6 +147,24 @@ def make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
     return hj_parts
 
 
+def marker_std_from_smoothed(smoothed_x, smoothed_P) -> np.ndarray:
+    """Per-marker 1-sigma position error bars (N, L, 3) in meters from
+    the RTS-smoothed state covariance: J_fk Sigma_pose J_fk^T with the
+    analytic FK Jacobian at each smoothed pose. The EKF-stage twin of
+    the FTE's Laplace posterior (trajopt.fte_solve compute_cov)."""
+    v = cheetah.N_ACTIVE
+
+    def one(x, Pf):
+        _pts, J = cheetah.fk25_and_jac(x)  # J: (L, 3, P)
+        S = Pf[:v, :v]
+        mc = jnp.einsum("lxa,ab,lyb->lxy", J, S, J)
+        return jnp.sqrt(jnp.clip(jnp.diagonal(mc, axis1=-2, axis2=-1), 0.0, None))
+
+    return np.asarray(
+        jax.jit(jax.vmap(one))(jnp.asarray(smoothed_x), jnp.asarray(smoothed_P))
+    )
+
+
 def run_cheetah_ekf(
     pixels: np.ndarray,  # (N, C, L, 2)
     likelihood: np.ndarray,  # (N, C, L)
@@ -250,6 +268,12 @@ def ekf(
         x=states["x"], dx=states["dx"], ddx=states["ddx"],
         smoothed_x=states["smoothed_x"], smoothed_dx=states["smoothed_dx"],
         smoothed_ddx=states["smoothed_ddx"],
+        # per-marker 1-sigma error bars from the RTS-smoothed covariance
+        # (free — P_smooth is already computed); the FTE stage's twin
+        # comes from the Laplace posterior (fte --uncertainty)
+        marker_std=marker_std_from_smoothed(
+            states["smoothed_x"], states["smoothed_P"]
+        ),
     )
     print("EKF complete!")
     print("Outliers ignored:", int(states["outliers"]))

@@ -112,3 +112,32 @@ def test_ekf_constant_acc_blocks():
     # Q is PSD
     w = np.linalg.eigvalsh(Q)
     assert w.min() > -1e-12
+
+
+def test_ekf_marker_std_from_smoothed(synth):
+    """EKF-stage error bars: J_fk Sigma J_fk^T from the RTS-smoothed
+    covariance — positive, finite, and mm-to-dm scale on the synthetic
+    run (the smoother's covariance reflects the Q/R model, looser than
+    the FTE posterior)."""
+    from acinoset_tpu.pipeline.ekf import marker_std_from_smoothed, run_cheetah_ekf
+
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    states = run_cheetah_ekf(
+        pixels.transpose(1, 0, 2, 3), likelihood.transpose(1, 0, 2),
+        k_arr, d_arr, r_arr, t_arr, 90.0, res, 0.5,
+    )
+    std = marker_std_from_smoothed(states["smoothed_x"], states["smoothed_P"])
+    N = std.shape[0]
+    assert std.shape == (N, cheetah.N_MARKERS, 3)
+    assert np.all(np.isfinite(std)) and std.min() > 0
+    assert 5e-4 < np.median(std) < 0.3, np.median(std)
+    # identity-covariance sanity: std reduces to sqrt(diag(J J^T))
+    import jax.numpy as jnp
+    x = states["smoothed_x"][0]
+    _pts, J = cheetah.fk25_and_jac(jnp.asarray(x))
+    expect = np.sqrt(np.einsum("lxa,lxa->lx", np.asarray(J), np.asarray(J)))
+    got = marker_std_from_smoothed(
+        x[None], np.eye(3 * cheetah.N_ACTIVE)[None]
+    )[0]
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
