@@ -351,8 +351,8 @@ def make_hj_parts_aux_generic(fk_and_jac):
 _GENERIC_SOLVER_CACHE: Dict = {}
 
 
-def _cached_batch_solver_generic(model, cfg, dtype):
-    key = (id(model), cfg, str(dtype))
+def _cached_batch_solver_generic(model, cfg, dtype, uncertainty=False):
+    key = (id(model), cfg, str(dtype), uncertainty)
     entry = _GENERIC_SOLVER_CACHE.get(key)
     if entry is None:
         h = make_h_fn_aux_generic(model.fk)
@@ -361,12 +361,16 @@ def _cached_batch_solver_generic(model, cfg, dtype):
         def batched(X0, meas, w, aux, nv):
             def one(a, b, c, x, n):
                 X, info = trajopt.fte_solve(
-                    h, a, b, c, cfg, aux=x, n_valid=n, hj_parts_fn=hj
+                    h, a, b, c, cfg, aux=x, n_valid=n, hj_parts_fn=hj,
+                    compute_cov=uncertainty,
                 )
-                return X, dict(
+                status = dict(
                     cost=info["cost"], cost0=info["cost0"],
                     converged=info["converged"], grad_norm=info["grad_norm"],
                 )
+                if uncertainty:
+                    status["marker_std"] = info["marker_std"]
+                return X, status
 
             return jax.vmap(one)(X0, meas, w, aux, nv)
 
@@ -386,6 +390,7 @@ def solve_batch_generic(
     huber_delta: float = 3.0,
     exclude_markers: Sequence[str] = ("neck",),
     X0_override: Optional[Sequence[np.ndarray]] = None,
+    uncertainty: bool = False,
 ) -> List[Dict]:
     """Batched generic-skeleton FTE — the src/build.py path at sweep
     scale: N runs of any subject (humans, new animals) solve as ONE
@@ -443,7 +448,7 @@ def solve_batch_generic(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     shard = NamedSharding(mesh, P("data"))
-    solver = _cached_batch_solver_generic(model, cfg, dtype)
+    solver = _cached_batch_solver_generic(model, cfg, dtype, uncertainty)
     n_dev = mesh.shape["data"]
     (X0p, measp, wp), B0 = mesh_lib.pad_batch([np.stack(X0_b), meas, w], n_dev)
     aux_p = []

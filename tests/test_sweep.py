@@ -272,3 +272,19 @@ def test_sweep_uncertainty_batched(dataset_root):
                      fps=90.0, dlc_thresh=0.5, num_iters=40, uncertainty=True)
     ratio = np.median(res["marker_std"]) / np.median(single["marker_std"])
     assert 0.5 < ratio < 2.0, ratio
+
+
+def test_sweep_generic_uncertainty():
+    """Error bars through the generic-skeleton batch path (analytic
+    FK Jacobian skeletons get marker_std like the cheetah)."""
+    model, runs, gts = _tree_skeleton_runs()
+    results = sweep.solve_batch_generic(
+        model, runs, dlc_thresh=0.5, num_iters=30,
+        init_marker="root", exclude_markers=(), uncertainty=True,
+    )
+    for res, pts in zip(results, gts):
+        std = res["marker_std"]
+        assert std.shape == (pts.shape[0], len(model.markers), 3)
+        assert np.all(np.isfinite(std)) and std.min() > 0
+        # clean synthetic data with exact cameras: sub-cm posterior
+        assert np.median(std) < 0.02, np.median(std)
