@@ -80,6 +80,64 @@ def project_points_pinhole(pts, K, D, R, t):
     return jnp.stack([u, v], axis=-1)
 
 
+def project_points_fisheye_and_jac(pts, K, D, R, t, eps: float = 1e-12):
+    """Fused KB4 projection + analytic point-Jacobian.
+
+    Returns ``(uv (..., 2), J (..., 2, 3))`` with
+    ``J = d uv / d world-point`` — exactly ``jax.jacfwd`` of
+    :func:`project_points_fisheye` (same ``eps`` placement inside the
+    radius sqrt), but as one fused elementwise pass instead of three
+    linearized projection passes. With ``a = x/z, b = y/z,
+    r = sqrt(a^2+b^2+eps), theta = atan(r), s = theta_d/r`` the chain
+    rule collapses to
+
+        d(a s)/d(a, b) = [s + a^2 g, a b g],   g = (theta_d'/(1+r^2) - s)/r^2
+
+    composed with ``da/dp = (R_0 - a R_2)/z`` (and the b row alike),
+    where ``theta_d' = 1 + 3 d0 th^2 + 5 d1 th^4 + 7 d2 th^6 + 9 d3 th^8``.
+    This is the hot Jacobian of the FTE/EKF measurement stage
+    (reference equations: AcinoSet src/all_optimizations.py:193-209).
+    """
+    pts = jnp.asarray(pts)
+    D = jnp.asarray(D, pts.dtype).reshape(-1)[:4]
+    t = jnp.asarray(t, pts.dtype).reshape(3)
+    Rm = jnp.asarray(R, pts.dtype)
+    cam = pts @ Rm.T + t  # (..., 3)
+    z = cam[..., 2]
+    a = cam[..., 0] / z
+    b = cam[..., 1] / z
+    r2 = a * a + b * b + eps  # r^2 INCLUDING eps — matches the primal
+    r = jnp.sqrt(r2)
+    theta = jnp.arctan(r)
+    t2 = theta * theta
+    poly = 1.0 + t2 * (D[0] + t2 * (D[1] + t2 * (D[2] + t2 * D[3])))
+    dpoly = 1.0 + t2 * (
+        3.0 * D[0] + t2 * (5.0 * D[1] + t2 * (7.0 * D[2] + 9.0 * t2 * D[3]))
+    )
+    th_d = theta * poly
+    s = th_d / r
+    u = K[0, 0] * (a * s) + K[0, 2]
+    v = K[1, 1] * (b * s) + K[1, 2]
+    uv = jnp.stack([u, v], axis=-1)
+
+    g = (dpoly / (1.0 + r2) - s) / r2
+    zinv = 1.0 / z[..., None]
+    Ma = (Rm[0] - a[..., None] * Rm[2]) * zinv  # da/dp  (..., 3)
+    Mb = (Rm[1] - b[..., None] * Rm[2]) * zinv  # db/dp
+    Ju = K[0, 0] * ((s + a * a * g)[..., None] * Ma + (a * b * g)[..., None] * Mb)
+    Jv = K[1, 1] * ((a * b * g)[..., None] * Ma + (s + b * b * g)[..., None] * Mb)
+    return uv, jnp.stack([Ju, Jv], axis=-2)
+
+
+def project_rig_and_jac(pts, K, D, R, T):
+    """Project (L, 3) points through a C-camera rig with Jacobians:
+    ``(h (C, L, 2), Jp (C, L, 2, 3))`` — the measurement-stage primitive
+    shared by the FTE/EKF hj_parts factories."""
+    return jax.vmap(
+        lambda k, d, r, t: project_points_fisheye_and_jac(pts, k, d, r, t)
+    )(K, D, R, T)
+
+
 # --------------------------------------------------------------------------
 # Undistortion (fixed-iteration Newton inverse of the KB4 polynomial)
 # --------------------------------------------------------------------------

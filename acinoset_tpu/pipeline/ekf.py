@@ -66,9 +66,9 @@ def make_hj_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
     """Fused (pixels, Jacobian) for one pose, via the chain rule.
 
     J = J_proj(points) @ J_fk(pose): the FK Jacobian is analytic
-    (cheetah.fk25_and_jac) and the projection Jacobian comes from 3
-    linearized passes (see make_hj_parts_fn) — no tangent ever flows
-    through the camera model per pose parameter. Returns (h (C*L*2,),
+    (cheetah.fk25_and_jac) and the projection Jacobian is the fused
+    closed form (ops.camera.project_points_fisheye_and_jac) — no tangent
+    ever flows through the camera model. Returns (h (C*L*2,),
     J (C*L*2, 25)) for `trajopt.fte_solve(hj_fn=...)` and
     `solvers.ekf.run_ekf(hj_fn=...)`.
     """
@@ -92,18 +92,7 @@ def hj_parts_aux(pose25, aux):
     K, D, R, T = aux
     D = D.reshape(K.shape[0], -1)[:, :4]  # same d-normalization as make_hj_parts_fn
     pts, Jfk = cheetah.fk25_and_jac(pose25)
-
-    def proj_all(p):
-        return jax.vmap(
-            lambda k, d, r, t: cam_ops.project_points_fisheye(p, k, d, r, t)
-        )(K, D, R, T)
-
-    h, lin = jax.linearize(proj_all, pts)
-    cols = [
-        lin(jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype)[axis], pts.shape))
-        for axis in range(3)
-    ]
-    Jp = jnp.stack(cols, axis=-1)  # (C, L, 2, 3)
+    h, Jp = cam_ops.project_rig_and_jac(pts, K, D, R, T)  # (C,L,2), (C,L,2,3)
     return h.reshape(-1), Jp, Jfk
 
 
@@ -124,24 +113,13 @@ def make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
 
     fk_and_jac = cheetah.fk25_and_jac  # analytic geometric Jacobian
 
-    def proj_all(pts):  # (L, 3) -> (C, L, 2)
-        return jax.vmap(
-            lambda K, D, R, T: cam_ops.project_points_fisheye(pts, K, D, R, T)
-        )(k, d, r, t)
-
     def hj_parts(pose25):
         pts, Jfk = fk_and_jac(pose25)  # (L,3), (L,3,25)
-        # Each projection depends on its own point only, so a SINGLE jvp
-        # whose tangent moves every point in direction e_k yields column
-        # k of every per-point (2, 3) Jacobian — 3 linearized passes
-        # instead of a per-point jacfwd (measured 15 -> ~6 ms for the
-        # whole measurement stage on the flagship batch).
-        h, lin = jax.linearize(proj_all, pts)  # primal (C, L, 2)
-        cols = [
-            lin(jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype)[axis], pts.shape))
-            for axis in range(3)
-        ]
-        Jp = jnp.stack(cols, axis=-1)  # (C, L, 2, 3)
+        # Fused analytic projection Jacobian: one elementwise pass yields
+        # every per-point (2, 3) block (project_points_fisheye_and_jac,
+        # parity with jacfwd at machine precision) — supersedes the
+        # earlier 3-linearized-pass scheme (1 forward + 3 jvp passes).
+        h, Jp = cam_ops.project_rig_and_jac(pts, k, d, r, t)  # (C,L,2),(C,L,2,3)
         return h.reshape(-1), Jp, Jfk
 
     return hj_parts

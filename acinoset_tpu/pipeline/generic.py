@@ -42,9 +42,9 @@ def make_hj_parts_fn_generic(model: SkeletonModel, k_arr, d_arr, r_arr, t_arr,
                              dtype=jnp.float64):
     """Unassembled chain-rule measurement Jacobian for the generic
     skeleton (see trajopt.fte_solve / pipeline.ekf.make_hj_parts_fn):
-    analytic FK Jacobian + 3 linearized projection passes. Returns None
-    when the skeleton has no analytic Jacobian (reference-compat mode or
-    non-tree link graphs) — callers then fall back to jacfwd."""
+    analytic FK Jacobian + fused analytic projection Jacobian. Returns
+    None when the skeleton has no analytic Jacobian (reference-compat
+    mode or non-tree link graphs) — callers then fall back to jacfwd."""
     if model.fk_and_jac is None:
         return None
     k = jnp.asarray(k_arr, dtype)
@@ -52,19 +52,9 @@ def make_hj_parts_fn_generic(model: SkeletonModel, k_arr, d_arr, r_arr, t_arr,
     r = jnp.asarray(r_arr, dtype)
     t = jnp.asarray(t_arr, dtype).reshape(k.shape[0], 3)
 
-    def proj_all(pts):
-        return jax.vmap(
-            lambda K, D, R, T: cam_ops.project_points_fisheye(pts, K, D, R, T)
-        )(k, d, r, t)
-
     def hj_parts(pose):
         pts, Jfk = model.fk_and_jac(pose)  # (L,3), (L,3,n_pose)
-        h, lin = jax.linearize(proj_all, pts)
-        cols = [
-            lin(jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype)[axis], pts.shape))
-            for axis in range(3)
-        ]
-        Jp = jnp.stack(cols, axis=-1)  # (C, L, 2, 3)
+        h, Jp = cam_ops.project_rig_and_jac(pts, k, d, r, t)
         return h.reshape(-1), Jp, Jfk
 
     return hj_parts

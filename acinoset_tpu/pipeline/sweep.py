@@ -318,10 +318,10 @@ def make_h_fn_aux_generic(fk):
 
 def make_hj_parts_aux_generic(fk_and_jac):
     """Aux-parameterized unassembled chain-rule Jacobian for an arbitrary
-    skeleton (see pipeline.ekf.hj_parts_aux): analytic FK Jacobian + 3
-    linearized projection passes. Returns None when the skeleton has no
-    analytic Jacobian (reference-compat mode / non-tree link graphs) —
-    fte_solve then falls back to jacfwd."""
+    skeleton (see pipeline.ekf.hj_parts_aux): analytic FK Jacobian +
+    fused analytic projection Jacobian. Returns None when the skeleton
+    has no analytic Jacobian (reference-compat mode / non-tree link
+    graphs) — fte_solve then falls back to jacfwd."""
     if fk_and_jac is None:
         return None
 
@@ -329,18 +329,7 @@ def make_hj_parts_aux_generic(fk_and_jac):
         K, D, R, T = aux
         D = D.reshape(K.shape[0], -1)[:, :4]
         pts, Jfk = fk_and_jac(pose)
-
-        def proj_all(p):
-            return jax.vmap(
-                lambda k, d, r, t: cam_ops.project_points_fisheye(p, k, d, r, t)
-            )(K, D, R, T)
-
-        h, lin = jax.linearize(proj_all, pts)
-        cols = [
-            lin(jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype)[axis], pts.shape))
-            for axis in range(3)
-        ]
-        Jp = jnp.stack(cols, axis=-1)  # (C, L, 2, 3)
+        h, Jp = cam_ops.project_rig_and_jac(pts, K, D, R, T)
         return h.reshape(-1), Jp, Jfk
 
     return hj

@@ -101,9 +101,9 @@ class FteConfig:
     #: still exact every iteration; only the linearization lags. A
     #: rejected step forces a refresh at the next candidate. k=1 is the
     #: classic fully-relinearized GN. Measured on v5e: k>1 is a net LOSS
-    #: in hj_parts mode (the Jacobian's 3 linearized passes share the
-    #: forward pass, so skipping them still pays a separate h-only pass
-    #: plus slower convergence: 399 vs 498 traj/s at k=2, 14 iters) —
+    #: in hj_parts mode (h and the Jacobian come out of one fused
+    #: measurement pass, so skipping the refresh still pays a separate
+    #: h-only pass plus slower convergence: 399 vs 498 traj/s at k=2) —
     #: kept as an option for jacfwd-mode models where J truly dominates.
     relinearize_every: int = 1
     #: stationarity tolerance: converged when the Jacobi-scaled gradient

@@ -134,3 +134,37 @@ def test_triangulate_pairwise_mean_masked(rng, fisheye_cam):
     assert seen[0, 0]
     mask = np.asarray(seen)
     np.testing.assert_allclose(pts3d[mask], world[mask], atol=1e-5)
+
+
+def test_project_fisheye_analytic_jacobian(rng, fisheye_cam):
+    """project_points_fisheye_and_jac == jacfwd(project_points_fisheye)
+    at machine precision (the hot measurement-stage Jacobian: one fused
+    elementwise pass instead of 3 linearized projection passes)."""
+    import jax
+
+    K, D, R, t = fisheye_cam
+    cam_pts = make_world_points(rng, n=64)
+    world = (cam_pts - t.ravel()) @ R
+
+    uv, J = camera.project_points_fisheye_and_jac(world, K, D, R, t)
+    uv0 = camera.project_points_fisheye(world, K, D, R, t)
+    Jref = jax.vmap(
+        jax.jacfwd(lambda p: camera.project_points_fisheye(p, K, D, R, t))
+    )(jnp.asarray(world))
+    np.testing.assert_allclose(np.asarray(uv), np.asarray(uv0), atol=0.0)
+    scale = float(np.abs(np.asarray(Jref)).max())
+    np.testing.assert_allclose(
+        np.asarray(J), np.asarray(Jref), atol=1e-11 * max(scale, 1.0)
+    )
+
+
+def test_project_rig_and_jac_shapes(rng, fisheye_cam):
+    K, D, R, t = fisheye_cam
+    Ks = np.stack([K, K])
+    Ds = np.stack([D.reshape(-1)[:4], D.reshape(-1)[:4]])
+    Rs = np.stack([R, np.eye(3)])
+    Ts = np.stack([t.reshape(3), np.array([0.0, 0.0, 5.0])])
+    pts = make_world_points(rng, n=20)
+    h, Jp = camera.project_rig_and_jac(jnp.asarray(pts), Ks, Ds, Rs, Ts)
+    assert h.shape == (2, 20, 2) and Jp.shape == (2, 20, 2, 3)
+    assert np.all(np.isfinite(np.asarray(Jp)))
