@@ -110,8 +110,14 @@ class FteConfig:
     #: inf-norm  max_i |g_i| / sqrt(H_ii)  at the last linearization
     #: point falls below this (units ~ sqrt(cost decrement per scaled
     #: coordinate step); IPOPT's analogous dual-infeasibility tol on
-    #: this problem was a loose 1e-1, src/all_optimizations.py:512)
-    stat_tol: float = 0.5
+    #: this problem was a loose 1e-1, src/all_optimizations.py:512).
+    #: 0.05 is the measured separation boundary on the flagship
+    #: workload (f32, B=24): fully-converged runs land at gn <= 0.049
+    #: (14/20/40 iters alike) while under-converged 10-iter runs
+    #: scatter 0.07-1.8 and starved 6-iter runs 0.49-3.8 — the earlier
+    #: 0.5 let a starved run through at gn 0.486 with 12x the marker
+    #: error of its rescued solve.
+    stat_tol: float = 0.05
 
 
 def third_difference(X, Ts):

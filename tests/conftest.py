@@ -34,6 +34,25 @@ import pytest  # noqa: E402
 REFERENCE_DATA = "/root/reference/data"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables_between_modules():
+    """Free JAX's compiled-executable caches after every test module.
+
+    A full-suite run compiles 100+ large unrolled programs into one
+    process; the accumulated XLA:CPU JIT code eventually segfaults the
+    compiler on the next big SPMD program (observed deterministically at
+    tests/test_parallel.py once the suite grew past ~95 tests, while the
+    same tests pass in isolation or any half-suite grouping). Dropping
+    executable references per module bounds the accumulation; modules
+    still share jit caches internally, so only cross-module reuse
+    recompiles.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
