@@ -41,6 +41,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -321,6 +322,30 @@ def build_skeleton_model(
         active_idx=np.asarray(sorted(active)),
         fk_and_jac=(fk_and_jac if (compat == "tpu" and is_tree) else None),
     )
+
+
+def fk_and_jac_any(model: SkeletonModel) -> Callable:
+    """The model's FK-with-Jacobian, for EVERY skeleton.
+
+    Returns the analytic ``model.fk_and_jac`` when the link graph
+    supports it; otherwise synthesizes one with ``jax.jacfwd`` over the
+    FK alone (reference-compat mode and non-tree graphs). Either way the
+    tangents never flow through the camera model — the hj_parts
+    factories compose this with the fused closed-form projection
+    Jacobian (ops.camera.project_points_fisheye_and_jac), so the
+    unassembled-contraction measurement path (HBM traffic cut, see
+    trajopt.meas_normal_pieces) is available for ALL generic models,
+    not only those with an analytic FK Jacobian. jacfwd's extra primal
+    evaluation CSEs away inside the surrounding jit.
+    """
+    if model.fk_and_jac is not None:
+        return model.fk_and_jac
+    fk = model.fk
+
+    def fkj(pose):
+        return fk(pose), jax.jacfwd(fk)(pose)  # (L,3), (L,3,n_pose)
+
+    return fkj
 
 
 def generic_pose_limits(model: SkeletonModel, limit: float = np.pi / 2) -> Tuple[np.ndarray, np.ndarray]:

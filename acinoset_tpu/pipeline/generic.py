@@ -15,7 +15,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.skeleton import SkeletonModel, build_skeleton_model, generic_pose_limits
+from ..models.skeleton import (
+    SkeletonModel, build_skeleton_model, fk_and_jac_any, generic_pose_limits,
+)
 from ..ops import camera as cam_ops
 from ..solvers import trajopt
 from . import data as data_io
@@ -42,18 +44,17 @@ def make_hj_parts_fn_generic(model: SkeletonModel, k_arr, d_arr, r_arr, t_arr,
                              dtype=jnp.float64):
     """Unassembled chain-rule measurement Jacobian for the generic
     skeleton (see trajopt.fte_solve / pipeline.ekf.make_hj_parts_fn):
-    analytic FK Jacobian + fused analytic projection Jacobian. Returns
-    None when the skeleton has no analytic Jacobian (reference-compat
-    mode or non-tree link graphs) — callers then fall back to jacfwd."""
-    if model.fk_and_jac is None:
-        return None
+    FK Jacobian (analytic for tree graphs, jacfwd over FK alone
+    otherwise — never through the cameras) + fused analytic projection
+    Jacobian. Available for EVERY skeleton."""
+    fk_and_jac = fk_and_jac_any(model)
     k = jnp.asarray(k_arr, dtype)
     d = jnp.asarray(d_arr, dtype).reshape(k.shape[0], -1)[:, :4]
     r = jnp.asarray(r_arr, dtype)
     t = jnp.asarray(t_arr, dtype).reshape(k.shape[0], 3)
 
     def hj_parts(pose):
-        pts, Jfk = model.fk_and_jac(pose)  # (L,3), (L,3,n_pose)
+        pts, Jfk = fk_and_jac(pose)  # (L,3), (L,3,n_pose)
         h, Jp = cam_ops.project_rig_and_jac(pts, k, d, r, t)
         return h.reshape(-1), Jp, Jfk
 

@@ -318,10 +318,9 @@ def make_h_fn_aux_generic(fk):
 
 def make_hj_parts_aux_generic(fk_and_jac):
     """Aux-parameterized unassembled chain-rule Jacobian for an arbitrary
-    skeleton (see pipeline.ekf.hj_parts_aux): analytic FK Jacobian +
-    fused analytic projection Jacobian. Returns None when the skeleton
-    has no analytic Jacobian (reference-compat mode / non-tree link
-    graphs) — fte_solve then falls back to jacfwd."""
+    skeleton (see pipeline.ekf.hj_parts_aux): FK Jacobian (analytic or
+    jacfwd-over-FK-only, models.skeleton.fk_and_jac_any) + fused
+    analytic projection Jacobian."""
     if fk_and_jac is None:
         return None
 
@@ -344,8 +343,10 @@ def _cached_batch_solver_generic(model, cfg, dtype, uncertainty=False):
     key = (id(model), cfg, str(dtype), uncertainty)
     entry = _GENERIC_SOLVER_CACHE.get(key)
     if entry is None:
+        from ..models.skeleton import fk_and_jac_any
+
         h = make_h_fn_aux_generic(model.fk)
-        hj = make_hj_parts_aux_generic(model.fk_and_jac)
+        hj = make_hj_parts_aux_generic(fk_and_jac_any(model))
 
         def batched(X0, meas, w, aux, nv):
             def one(a, b, c, x, n):
@@ -384,9 +385,10 @@ def solve_batch_generic(
     """Batched generic-skeleton FTE — the src/build.py path at sweep
     scale: N runs of any subject (humans, new animals) solve as ONE
     jitted, mesh-sharded program, per-run rigs riding along as vmapped
-    aux, reusing the skeleton's analytic FK Jacobian when available
-    (models.skeleton.fk_and_jac). ``runs[i].pixels`` must be in the
-    model's marker order.
+    aux, on the unassembled measurement path for every skeleton
+    (analytic FK Jacobian for tree graphs, jacfwd over FK alone
+    otherwise — models.skeleton.fk_and_jac_any). ``runs[i].pixels``
+    must be in the model's marker order.
     """
     from ..models.skeleton import SkeletonModel  # noqa: F401 (doc type)
     from .ekf import nose_track_linreg

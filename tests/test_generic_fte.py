@@ -135,3 +135,43 @@ def test_generic_fte_on_real_human_data(human_setup):
     trusted[:, :, model.markers.index("neck")] = False
     err = np.linalg.norm(proj - meas, axis=-1)[trusted]
     assert np.median(err) < 4.0, np.median(err)
+
+
+def test_semianalytic_hj_parts_matches_jacfwd(human_setup):
+    """fk_and_jac_any gives every skeleton the unassembled measurement
+    path: for the reference-compat human model (no analytic FK
+    Jacobian), hj_parts' assembled J = Jp @ Jfk must equal jacfwd of the
+    full measurement function at machine precision."""
+    from acinoset_tpu.models.skeleton import fk_and_jac_any
+
+    skel, k, d, r, t, fpaths = human_setup
+    model = build_skeleton_model(skel, compat="reference")
+    assert model.fk_and_jac is None  # the synthesized path under test
+
+    hj_parts = generic.make_hj_parts_fn_generic(model, k, d, r, t)
+    assert hj_parts is not None
+    h_fn = generic.make_h_fn_generic(model, k, d, r, t)
+
+    rng = np.random.default_rng(3)
+    pose = jnp.asarray(rng.normal(scale=0.3, size=model.n_pose))
+    pose = pose.at[2].add(5.0)  # keep the subject in front of the rig
+
+    hv, Jp, Jfk = jax.jit(hj_parts)(pose)
+    C = np.asarray(k).shape[0]
+    L = model.n_markers
+    J = np.einsum("clui,lix->clux", np.asarray(Jp), np.asarray(Jfk))
+    J = J.reshape(C * L * 2, model.n_pose)
+
+    h_flat = lambda x: h_fn(x).reshape(-1)
+    h0 = np.asarray(jax.jit(h_flat)(pose))
+    Jref = np.asarray(jax.jit(jax.jacfwd(h_flat))(pose))
+    np.testing.assert_allclose(np.asarray(hv), h0, rtol=0, atol=1e-9)
+    scale = max(np.abs(Jref).max(), 1.0)
+    np.testing.assert_allclose(J, Jref, atol=1e-9 * scale)
+
+    # and the synthesized fk_and_jac primal matches fk exactly
+    fkj = fk_and_jac_any(model)
+    pts, _ = jax.jit(fkj)(pose)
+    np.testing.assert_allclose(
+        np.asarray(pts), np.asarray(jax.jit(model.fk)(pose)), atol=0
+    )
