@@ -381,6 +381,8 @@ def solve_batch_generic(
     exclude_markers: Sequence[str] = ("neck",),
     X0_override: Optional[Sequence[np.ndarray]] = None,
     uncertainty: bool = False,
+    rescue: bool = True,
+    plain_iters: Optional[int] = None,
 ) -> List[Dict]:
     """Batched generic-skeleton FTE — the src/build.py path at sweep
     scale: N runs of any subject (humans, new animals) solve as ONE
@@ -388,7 +390,10 @@ def solve_batch_generic(
     aux, on the unassembled measurement path for every skeleton
     (analytic FK Jacobian for tree graphs, jacfwd over FK alone
     otherwise — models.skeleton.fk_and_jac_any). ``runs[i].pixels``
-    must be in the model's marker order.
+    must be in the model's marker order. ``rescue`` mirrors the cheetah
+    sweep: runs whose stationarity flag comes back unconverged re-solve
+    once as their own batch at 3x the budget from their current
+    solution (robust weights on from iteration 0).
     """
     from ..models.skeleton import SkeletonModel  # noqa: F401 (doc type)
     from .ekf import nose_track_linreg
@@ -399,6 +404,10 @@ def solve_batch_generic(
     N = max(r.pixels.shape[1] for r in runs)
     C = max(r.pixels.shape[0] for r in runs)
     cfg = generic_config(model, fps, num_iters=num_iters, huber_delta=huber_delta)
+    if plain_iters is not None:
+        from dataclasses import replace as _replace
+
+        cfg = _replace(cfg, plain_iters=plain_iters)
 
     pix_b, lik_b, cams_b, n_valid, X0_b = [], [], [], [], []
     for i, run in enumerate(runs):
@@ -489,6 +498,22 @@ def solve_batch_generic(
                    if uncertainty else {}),
             )
         )
+
+    bad = [i for i, r in enumerate(results) if not r["converged"]]
+    if rescue and bad:
+        print(f"rescue: {len(bad)} unconverged generic runs re-solved at "
+              f"{3 * num_iters} iterations")
+        rr = solve_batch_generic(
+            model, [runs[i] for i in bad], dlc_thresh,
+            num_iters=3 * num_iters, mesh=mesh, dtype=dtype,
+            init_marker=init_marker, huber_delta=huber_delta,
+            exclude_markers=exclude_markers,
+            X0_override=[results[i]["x"] for i in bad],
+            uncertainty=uncertainty, rescue=False,
+            plain_iters=0,  # continuing a graduated solve
+        )
+        for i, res in zip(bad, rr):
+            results[i] = res
     return results
 
 

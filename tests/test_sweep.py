@@ -185,8 +185,9 @@ def test_sweep_generic_batched_tree_analytic():
 
 def test_sweep_generic_batched_human_fallback():
     """The shipped human skeleton has a non-tree link graph (two-parent
-    hip) — the batched generic path must fall back to jacfwd and still
-    batch 2 ragged windows of the real shipped data in one program."""
+    hip) — no analytic FK Jacobian, so the batched generic path uses the
+    synthesized jacfwd-over-FK-only hj_parts (fk_and_jac_any) and still
+    batches 2 ragged windows of the real shipped data in one program."""
     from glob import glob
 
     from acinoset_tpu.models.skeleton import build_skeleton_model
@@ -195,7 +196,7 @@ def test_sweep_generic_batched_human_fallback():
     REF = "/root/reference"
     skel = data_io.load_skeleton(f"{REF}/skeletons/new_human.pickle")
     model = build_skeleton_model(skel)
-    assert model.fk_and_jac is None  # jacfwd fallback path
+    assert model.fk_and_jac is None  # the synthesized-Jacobian path
     k, d, r, t, _res = data_io.load_scene(f"{REF}/data/4_cam_scene_static_sba.json")
     fpaths = sorted(glob(f"{REF}/data/*.h5"))
     p2d = data_io.load_dlc_points(fpaths, markers=model.markers)
@@ -208,12 +209,48 @@ def test_sweep_generic_batched_human_fallback():
             cams=(k, d.reshape(-1, 4), r, np.asarray(t).reshape(-1, 3)),
             fps=120.0, start_frame=start, scene_fpath="",
         ))
-    results = sweep.solve_batch_generic(model, runs, dlc_thresh=0.4, num_iters=20)
+    results = sweep.solve_batch_generic(model, runs, dlc_thresh=0.4, num_iters=20,
+                                        rescue=False)
     assert len(results) == 2
     for res, (start, n) in zip(results, ((60, 40), (100, 32))):
         assert res["x"].shape == (n, model.n_pose)
         assert res["cost"] < res["cost0"], res["data_dir"]
         assert np.isfinite(res["grad_norm"])
+
+
+def test_sweep_generic_rescue():
+    """Generic-batch twin of the cheetah rescue: a starved iteration
+    budget leaves runs unconverged; solve_batch_generic re-solves
+    exactly those at 3x budget from their current solutions."""
+    from glob import glob
+
+    from acinoset_tpu.models.skeleton import build_skeleton_model
+    from acinoset_tpu.pipeline import data as data_io
+
+    REF = "/root/reference"
+    skel = data_io.load_skeleton(f"{REF}/skeletons/new_human.pickle")
+    model = build_skeleton_model(skel)
+    k, d, r, t, _res = data_io.load_scene(f"{REF}/data/4_cam_scene_static_sba.json")
+    fpaths = sorted(glob(f"{REF}/data/*.h5"))
+    p2d = data_io.load_dlc_points(fpaths, markers=model.markers)
+    runs = []
+    for start, n in ((60, 24), (100, 16)):
+        win = p2d.window(start, start + n)
+        runs.append(sweep.RunData(
+            data_dir=f"human_{start}", pixels=win.pixels,
+            likelihood=np.nan_to_num(win.likelihood, nan=-1.0),
+            cams=(k, d.reshape(-1, 4), r, np.asarray(t).reshape(-1, 3)),
+            fps=120.0, start_frame=start, scene_fpath="",
+        ))
+    starved = sweep.solve_batch_generic(model, runs, dlc_thresh=0.4,
+                                        num_iters=4, rescue=False)
+    n_bad = sum(1 for r in starved if not r["converged"])
+    assert n_bad > 0, [r["grad_norm"] for r in starved]
+    rescued = sweep.solve_batch_generic(model, runs, dlc_thresh=0.4,
+                                        num_iters=4, rescue=True)
+    for res, cold in zip(rescued, starved):
+        assert res["cost"] <= cold["cost"] + 1e-9, res["data_dir"]
+        assert res["grad_norm"] <= cold["grad_norm"] + 1e-9, res["data_dir"]
 
 
 def test_sweep_rescue_recovers_unconverged(dataset_root):
