@@ -321,8 +321,6 @@ def make_hj_parts_aux_generic(fk_and_jac):
     skeleton (see pipeline.ekf.hj_parts_aux): FK Jacobian (analytic or
     jacfwd-over-FK-only, models.skeleton.fk_and_jac_any) + fused
     analytic projection Jacobian."""
-    if fk_and_jac is None:
-        return None
 
     def hj(pose, aux):
         K, D, R, T = aux
@@ -332,6 +330,24 @@ def make_hj_parts_aux_generic(fk_and_jac):
         return h.reshape(-1), Jp, Jfk
 
     return hj
+
+
+def _rescue_unconverged(results, label, num_iters, resolve):
+    """Shared rescue policy (cheetah sweep + generic batch): runs whose
+    stationarity flag came back unconverged re-solve ONCE as their own
+    batch at 3x the iteration budget, warm-started from their current
+    solutions (the caller's ``resolve`` continues the graduated solve
+    with robust weights on from iteration 0). Only the failures pay;
+    a rescued run can honestly remain unconverged."""
+    bad = [i for i, r in enumerate(results) if not r["converged"]]
+    if not bad:
+        return results
+    print(f"rescue: {len(bad)} unconverged {label}runs re-solved at "
+          f"{3 * num_iters} iterations")
+    rr = resolve(bad, [results[i]["x"] for i in bad], 3 * num_iters)
+    for i, res in zip(bad, rr):
+        results[i] = res
+    return results
 
 
 #: generic-skeleton solver cache; entries hold a strong reference to the
@@ -499,21 +515,18 @@ def solve_batch_generic(
             )
         )
 
-    bad = [i for i, r in enumerate(results) if not r["converged"]]
-    if rescue and bad:
-        print(f"rescue: {len(bad)} unconverged generic runs re-solved at "
-              f"{3 * num_iters} iterations")
-        rr = solve_batch_generic(
-            model, [runs[i] for i in bad], dlc_thresh,
-            num_iters=3 * num_iters, mesh=mesh, dtype=dtype,
-            init_marker=init_marker, huber_delta=huber_delta,
-            exclude_markers=exclude_markers,
-            X0_override=[results[i]["x"] for i in bad],
-            uncertainty=uncertainty, rescue=False,
-            plain_iters=0,  # continuing a graduated solve
+    if rescue:
+        results = _rescue_unconverged(
+            results, "generic ", num_iters,
+            lambda bad, X0s, budget: solve_batch_generic(
+                model, [runs[i] for i in bad], dlc_thresh,
+                num_iters=budget, mesh=mesh, dtype=dtype,
+                init_marker=init_marker, huber_delta=huber_delta,
+                exclude_markers=exclude_markers, X0_override=X0s,
+                uncertainty=uncertainty, rescue=False,
+                plain_iters=0,  # continuing a graduated solve
+            ),
         )
-        for i, res in zip(bad, rr):
-            results[i] = res
     return results
 
 
@@ -704,20 +717,17 @@ def sweep(
                 plain_iters=(4 if warm else None),
                 uncertainty=uncertainty,
             )
-            bad = [i for i, r in enumerate(results) if not r["converged"]]
-            if rescue and bad:
-                print(f"rescue: {len(bad)} unconverged runs re-solved at "
-                      f"{3 * num_iters} iterations")
-                rr = solve_batch(
-                    [group[i] for i in bad], dlc_thresh,
-                    num_iters=3 * num_iters,
-                    X0_override=[results[i]["x"] for i in bad],
-                    relinearize_every=relinearize_every,
-                    plain_iters=0,  # continuing a graduated solve
-                    uncertainty=uncertainty,
+            if rescue:
+                results = _rescue_unconverged(
+                    results, "", num_iters,
+                    lambda bad, X0s, budget: solve_batch(
+                        [group[i] for i in bad], dlc_thresh,
+                        num_iters=budget, X0_override=X0s,
+                        relinearize_every=relinearize_every,
+                        plain_iters=0,  # continuing a graduated solve
+                        uncertainty=uncertainty,
+                    ),
                 )
-                for i, res in zip(bad, rr):
-                    results[i] = res
             all_results.extend(results)
             if save:
                 for res in results:

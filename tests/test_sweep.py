@@ -248,9 +248,13 @@ def test_sweep_generic_rescue():
     assert n_bad > 0, [r["grad_norm"] for r in starved]
     rescued = sweep.solve_batch_generic(model, runs, dlc_thresh=0.4,
                                         num_iters=4, rescue=True)
+    # `cost` is the true robust objective regardless of plain_iters, so
+    # this comparison is apples-to-apples (grad_norm is NOT: the starved
+    # pass reports the plain-surrogate gradient, the rescue the
+    # Huber-weighted one)
     for res, cold in zip(rescued, starved):
-        assert res["cost"] <= cold["cost"] + 1e-9, res["data_dir"]
-        assert res["grad_norm"] <= cold["grad_norm"] + 1e-9, res["data_dir"]
+        assert res["cost"] < cold["cost"], (res["data_dir"], res["cost"], cold["cost"])
+        assert np.isfinite(res["grad_norm"])
 
 
 def test_sweep_rescue_recovers_unconverged(dataset_root):
