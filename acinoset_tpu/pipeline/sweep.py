@@ -399,6 +399,7 @@ def solve_batch_generic(
     uncertainty: bool = False,
     rescue: bool = True,
     plain_iters: Optional[int] = None,
+    warm_start="auto",
 ) -> List[Dict]:
     """Batched generic-skeleton FTE — the src/build.py path at sweep
     scale: N runs of any subject (humans, new animals) solve as ONE
@@ -409,7 +410,10 @@ def solve_batch_generic(
     must be in the model's marker order. ``rescue`` mirrors the cheetah
     sweep: runs whose stationarity flag comes back unconverged re-solve
     once as their own batch at 3x the budget from their current
-    solution (robust weights on from iteration 0).
+    solution (robust weights on from iteration 0). ``warm_start``
+    mirrors it too: the batched generic EKF's smoothed poses replace
+    the TRI+linreg cold init ("auto": only for groups longer than
+    AUTO_WARM_N frames, where the cold init measurably diverges).
     """
     from ..models.skeleton import SkeletonModel  # noqa: F401 (doc type)
     from .ekf import nose_track_linreg
@@ -420,6 +424,15 @@ def solve_batch_generic(
     N = max(r.pixels.shape[1] for r in runs)
     C = max(r.pixels.shape[0] for r in runs)
     cfg = generic_config(model, fps, num_iters=num_iters, huber_delta=huber_delta)
+    warm = (N > AUTO_WARM_N) if warm_start == "auto" else bool(warm_start)
+    if X0_override is None and warm:
+        ekf_results = solve_batch_ekf_generic(
+            model, runs, dlc_thresh, dtype=dtype, init_marker=init_marker,
+        )
+        X0_override = ekf_warm_starts(ekf_results)
+        if plain_iters is None:
+            # the EKF init is already near the optimum and 3σ-gated
+            plain_iters = 4
     if plain_iters is not None:
         from dataclasses import replace as _replace
 
@@ -638,6 +651,132 @@ def solve_batch_ekf(
                             # the EKF's failure-detection signal, parity
                             # with the FTE stage's converged/grad_norm)
                             outliers=int(out["outliers"][i])))
+    return results
+
+
+_GENERIC_EKF_CACHE: Dict = {}
+
+
+def _cached_batch_ekf_solver_generic(model, cfg, N, C, dtype_str,
+                                     qb_bytes, p0_bytes):
+    """Generic-skeleton twin of _cached_batch_ekf_solver: one jitted
+    vmapped EKF+RTS program per (model, config, padded shapes)."""
+    key = (id(model), cfg, N, C, dtype_str, qb_bytes, p0_bytes)
+    entry = _GENERIC_EKF_CACHE.get(key)
+    if entry is None:
+        from dataclasses import replace as dc_replace
+
+        from ..models.skeleton import fk_and_jac_any
+        from ..solvers import ekf as ekf_solver
+
+        dtype = jnp.float32 if "32" in dtype_str else jnp.float64
+        n_pose = model.n_pose
+        qb = np.frombuffer(qb_bytes, dtype=np.float64)
+        P0 = np.frombuffer(p0_bytes, dtype=np.float64).reshape(
+            3 * n_pose, 3 * n_pose
+        )
+        h_aux = make_h_fn_aux_generic(model.fk)
+        hj_aux = make_hj_parts_aux_generic(fk_and_jac_any(model))
+
+        def one(pix, lik, x0, auxi, mpe_i):
+            def hj(p):
+                hh, Jp, Jfk = hj_aux(p, auxi)
+                J = jnp.einsum("clij,ljk->clik", Jp, Jfk)
+                return hh, J.reshape(hh.shape[0], -1)
+
+            return ekf_solver.run_ekf(
+                lambda p: h_aux(p, auxi), pix, lik,
+                x0, jnp.asarray(P0, dtype), qb,
+                dc_replace(cfg, max_pixel_err=mpe_i),
+                hj_fn=hj,
+            )
+
+        entry = (model, jax.jit(jax.vmap(one)))
+        _GENERIC_EKF_CACHE[key] = entry
+    return entry[1]
+
+
+def solve_batch_ekf_generic(
+    model,
+    runs: Sequence[RunData],
+    dlc_thresh: float,
+    dtype=jnp.float32,
+    init_marker: str = "forehead",
+    meas_std_px: float = 3.0,
+    pos_process_std: float = 5.0,
+    ang_process_std: float = 25.0,
+) -> List[Dict]:
+    """Batched EKF+RTS for arbitrary skeletons — capability beyond the
+    reference (src/build.py has no EKF stage; src/all_optimizations.py
+    runs it only for the hard-coded cheetah). Same padding/aux scheme as
+    solve_batch_ekf; process-noise stds are blanket per-kind defaults
+    (root-translation jerk ``pos_process_std`` m/s^3, angle jerk
+    ``ang_process_std`` rad/s^3 — the scale of the cheetah's measured
+    qb table) since generic skeletons carry no tuned table."""
+    from ..solvers import ekf as ekf_solver
+    from .ekf import nose_track_linreg
+    from .tri import triangulate_run
+
+    fps = runs[0].fps
+    N = max(r.pixels.shape[1] for r in runs)
+    C = max(r.pixels.shape[0] for r in runs)
+    n_pose = model.n_pose
+
+    cfg = ekf_solver.EkfConfig(
+        dt=1.0 / fps, dlc_thresh=dlc_thresh, meas_std_px=meas_std_px,
+    )
+    mpe = np.asarray([float(r.cam_res[0]) for r in runs])
+    qb = np.concatenate([
+        np.full(3, pos_process_std), np.full(n_pose - 3, ang_process_std),
+    ])
+    p_ang = np.ones(n_pose - 3)
+    P0 = np.diag(np.concatenate([
+        np.ones(3) * 9.0, p_ang * (np.pi / 4) ** 2,  # pose
+        np.ones(3) * 25.0, p_ang * 9.0,              # velocity
+        np.ones(3) * 9.0, p_ang * 25.0,              # acceleration
+    ]))
+
+    pix_b, lik_b, aux_b, x0_b, n_valid = [], [], [], [], []
+    mi = model.markers.index(init_marker)
+    for run in runs:
+        pix, lik, cams, n0 = _pad_run(run, N, C)
+        pix_b.append(pix.transpose(1, 0, 2, 3))
+        lik_b.append(lik.transpose(1, 0, 2))
+        aux_b.append(cams)
+        n_valid.append(n0)
+        # init_marker linreg track (the generic FTE's own init)
+        valid = np.nan_to_num(lik, nan=-1.0) > dlc_thresh
+        tri_pos = triangulate_run(np.nan_to_num(pix), valid, *cams)
+        xs, xi, ys, yi, zs, zi = nose_track_linreg(tri_pos, np.arange(N), mi)
+        x0 = np.zeros(3 * n_pose)
+        x0[:3] = (xi, yi, zi)
+        x0[n_pose : n_pose + 3] = np.asarray((xs, ys, zs)) * fps
+        x0_b.append(x0)
+
+    aux = tuple(np.stack([c[j] for c in aux_b]) for j in range(4))
+    out = _cached_batch_ekf_solver_generic(
+        model, cfg, N, C, str(dtype), qb.tobytes(), P0.tobytes()
+    )(
+        jnp.asarray(np.stack(pix_b), dtype),
+        jnp.asarray(np.stack(lik_b), dtype),
+        jnp.asarray(np.stack(x0_b), dtype),
+        tuple(jnp.asarray(a, dtype) for a in aux),
+        jnp.asarray(mpe, dtype),
+    )
+    fk_batch = jax.jit(jax.vmap(jax.vmap(model.fk)))
+    pos_all = np.asarray(fk_batch(jnp.asarray(out["smoothed_x"], dtype)))
+    results = []
+    for i, run in enumerate(runs):
+        n0 = n_valid[i]
+        states = {k2: np.asarray(v[i][:n0]) if np.asarray(v[i]).ndim else v[i]
+                  for k2, v in out.items()
+                  if k2 not in ("P", "smoothed_P", "outliers")}
+        results.append(dict(
+            data_dir=run.data_dir, positions=pos_all[i, :n0].astype(np.float64),
+            states=states, start_frame=run.start_frame,
+            scene_fpath=run.scene_fpath, max_pixel_err=float(mpe[i]),
+            outliers=int(out["outliers"][i]),
+        ))
     return results
 
 

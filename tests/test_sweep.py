@@ -329,3 +329,43 @@ def test_sweep_generic_uncertainty():
         assert np.all(np.isfinite(std)) and std.min() > 0
         # clean synthetic data with exact cameras: sub-cm posterior
         assert np.median(std) < 0.02, np.median(std)
+
+
+def test_sweep_generic_ekf_and_warm_start():
+    """Generic-skeleton EKF stage (beyond the reference: build.py has no
+    EKF) and the warm-started generic FTE batch built on it."""
+    from glob import glob
+
+    from acinoset_tpu.models.skeleton import build_skeleton_model
+    from acinoset_tpu.pipeline import data as data_io
+
+    REF = "/root/reference"
+    skel = data_io.load_skeleton(f"{REF}/skeletons/new_human.pickle")
+    model = build_skeleton_model(skel)
+    k, d, r, t, _res = data_io.load_scene(f"{REF}/data/4_cam_scene_static_sba.json")
+    fpaths = sorted(glob(f"{REF}/data/*.h5"))
+    p2d = data_io.load_dlc_points(fpaths, markers=model.markers)
+    runs = []
+    for start, n in ((60, 24), (100, 16)):
+        win = p2d.window(start, start + n)
+        runs.append(sweep.RunData(
+            data_dir=f"human_{start}", pixels=win.pixels,
+            likelihood=np.nan_to_num(win.likelihood, nan=-1.0),
+            cams=(k, d.reshape(-1, 4), r, np.asarray(t).reshape(-1, 3)),
+            fps=120.0, start_frame=start, scene_fpath="",
+        ))
+
+    ekf_res = sweep.solve_batch_ekf_generic(model, runs, dlc_thresh=0.4)
+    assert len(ekf_res) == 2
+    for res, (start, n) in zip(ekf_res, ((60, 24), (100, 16))):
+        assert res["positions"].shape == (n, model.n_markers, 3)
+        assert np.isfinite(res["positions"]).all(), res["data_dir"]
+        assert res["states"]["smoothed_x"].shape == (n, model.n_pose)
+        assert res["outliers"] >= 0
+
+    warm = sweep.solve_batch_generic(model, runs, dlc_thresh=0.4,
+                                     num_iters=8, warm_start=True,
+                                     rescue=False)
+    for res in warm:
+        assert np.isfinite(res["x"]).all()
+        assert res["cost"] < res["cost0"], res["data_dir"]
