@@ -72,6 +72,12 @@ def main(argv=None):
     ps.add_argument("--no_rescue", action="store_true",
                     help="disable the automatic 3x-iteration re-solve of "
                     "runs whose stationarity flag is unconverged")
+    ps.add_argument("--skeleton", type=str, default=None,
+                    help="skeleton pickle: sweep arbitrary build.py-style "
+                    "subjects (humans, new animals) instead of the cheetah")
+    ps.add_argument("--init_marker", type=str, default="forehead",
+                    help="generic sweeps: marker whose triangulated track "
+                    "seeds the root-translation init")
 
     pv = sub.add_parser("view", help="export an interactive HTML 3D viewer "
                         "for a result pickle (drag-orbit, frame scrub/play)")
@@ -174,6 +180,18 @@ def main(argv=None):
         return 0
 
     if args.cmd == "sweep":
+        if args.skeleton:
+            from .pipeline.sweep import sweep_generic
+
+            sweep_generic(
+                args.root_dir, args.skeleton, dlc_thresh=args.dlc_thresh,
+                num_iters=args.num_iters, max_frames=args.max_frames,
+                warm_start={"auto": "auto", "on": True, "off": False}[args.warm_start],
+                rescue=not args.no_rescue,
+                uncertainty=args.uncertainty,
+                init_marker=args.init_marker,
+            )
+            return 0
         from .pipeline.sweep import sweep as run_sweep
 
         run_sweep(

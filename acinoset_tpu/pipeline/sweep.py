@@ -59,6 +59,7 @@ def load_run(
     start_frame: int = 1,
     end_frame: int = -1,
     max_cams: Optional[int] = None,
+    markers: Optional[Sequence[str]] = None,
 ) -> RunData:
     k_arr, d_arr, r_arr, t_arr, cam_res, n_cams, scene_fpath = data_io.find_scene_file(
         data_dir, verbose=False
@@ -68,7 +69,7 @@ def load_run(
     except FileNotFoundError:
         fps, tot = 120.0, None
     fpaths = sorted(glob(os.path.join(data_dir, "dlc", "*.h5")))
-    p2d = data_io.load_dlc_points(fpaths, markers=cheetah.get_markers())
+    p2d = data_io.load_dlc_points(fpaths, markers=(markers or cheetah.get_markers()))
     start0 = start_frame - 1
     end = p2d.pixels.shape[1] if end_frame == -1 else end_frame
     win = p2d.window(start0, end)
@@ -883,4 +884,63 @@ def sweep(
                             grad_norm=res["grad_norm"],
                         ),
                     )
+    return all_results
+
+
+def sweep_generic(
+    root_dir: str,
+    skeleton_fpath: str,
+    dlc_thresh: float = 0.4,
+    num_iters: int = 60,
+    save: bool = True,
+    max_frames: Optional[int] = None,
+    warm_start="auto",
+    rescue: bool = True,
+    uncertainty: bool = False,
+    init_marker: str = "forehead",
+) -> List[Dict]:
+    """Batched generic-skeleton reconstruction over every run under
+    root_dir — the all_flick twin for the src/build.py model family
+    (humans, new animals). Groups runs by fps, solves each group as one
+    jitted sharded program via solve_batch_generic (EKF warm start,
+    unconverged-run rescue, optional error bars), and writes per-run
+    ``<run>/fte/traj_results.pickle`` in build.py's result schema
+    (src/build.py:344-378) plus solver-status extras."""
+    from ..models.skeleton import build_skeleton_model
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    model = build_skeleton_model(data_io.load_skeleton(skeleton_fpath))
+    run_dirs = discover_runs(root_dir)
+    print(f"Found {len(run_dirs)} runs under {root_dir}")
+    runs = [
+        load_run(d, end_frame=(max_frames or -1), markers=model.markers)
+        for d in run_dirs
+    ]
+    groups: Dict[float, List[RunData]] = {}
+    for r in runs:
+        groups.setdefault(r.fps, []).append(r)
+
+    all_results = []
+    for fps, group in groups.items():
+        print(f"generic FTE: {len(group)} runs @ {fps} fps as one batch")
+        results = solve_batch_generic(
+            model, group, dlc_thresh, num_iters=num_iters,
+            warm_start=warm_start, rescue=rescue, uncertainty=uncertainty,
+            init_marker=init_marker,
+        )
+        all_results.extend(results)
+        if save:
+            for res in results:
+                out = os.path.join(res["data_dir"], "fte", "traj_results.pickle")
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                data_io.save_pickle(out, dict(
+                    positions=res["positions"], x=res["x"],
+                    dx=res["dx"], ddx=res["ddx"],
+                    markers=res["markers"], start_frame=res["start_frame"],
+                    scene_fpath=res["scene_fpath"],
+                    cost=res["cost"], cost0=res["cost0"],
+                    converged=res["converged"], grad_norm=res["grad_norm"],
+                    **({"marker_std": res["marker_std"]} if uncertainty else {}),
+                ))
     return all_results

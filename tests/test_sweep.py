@@ -369,3 +369,38 @@ def test_sweep_generic_ekf_and_warm_start():
     for res in warm:
         assert np.isfinite(res["x"]).all()
         assert res["cost"] < res["cost0"], res["data_dir"]
+
+
+def test_sweep_generic_cli_layout(tmp_path):
+    """File-driven generic sweep (cli sweep --skeleton): discovers runs
+    under a dataset root, solves via solve_batch_generic, writes
+    traj_results.pickle in build.py's schema + solver status."""
+    import shutil
+    from glob import glob
+
+    from acinoset_tpu.pipeline import data as data_io
+    from acinoset_tpu.pipeline.sweep import sweep_generic
+
+    REF = "/root/reference"
+    run = tmp_path / "2019_09_01" / "human" / "walk"
+    (run / "dlc").mkdir(parents=True)
+    (run.parent / "extrinsic_calib").mkdir()
+    for f in glob(f"{REF}/data/*.h5"):
+        shutil.copy(f, run / "dlc")
+    shutil.copy(f"{REF}/data/4_cam_scene_static_sba.json",
+                run.parent / "extrinsic_calib")
+    with open(run / "video_info.json", "w") as fh:
+        json.dump({"resolution": [1920, 1080], "fps": 120.0,
+                   "tot_frames": 200}, fh)
+
+    results = sweep_generic(
+        str(tmp_path), f"{REF}/skeletons/new_human.pickle",
+        dlc_thresh=0.4, num_iters=8, max_frames=24, rescue=False,
+    )
+    assert len(results) == 1
+    out = run / "fte" / "traj_results.pickle"
+    assert out.exists()
+    saved = data_io.load_pickle(str(out))
+    assert saved["positions"].shape == (24, 15, 3)
+    assert {"x", "dx", "ddx", "markers", "converged", "grad_norm"} <= set(saved)
+    assert saved["cost"] < saved["cost0"]
