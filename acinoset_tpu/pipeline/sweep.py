@@ -638,11 +638,16 @@ def solve_batch_ekf(
         tuple(jnp.asarray(a, dtype) for a in aux),
         jnp.asarray(mpe, dtype),
     )
+    # EKF-stage error bars (always on — the single-run stage's contract)
+    ms_all = _batched_marker_std(
+        cheetah.fk25_and_jac, n_pose, out["smoothed_x"], out["smoothed_P"]
+    )
     results = []
     for i, run in enumerate(runs):
         n0 = n_valid[i]
         states = {k2: np.asarray(v[i][:n0]) if np.asarray(v[i]).ndim else v[i]
                   for k2, v in out.items() if k2 not in ("P", "smoothed_P", "outliers")}
+        states["marker_std"] = ms_all[i, :n0].astype(np.float64)
         x_s = np.asarray(out["smoothed_x"][i][:n0], np.float64)
         positions = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(x_s)))
         results.append(dict(data_dir=run.data_dir, positions=positions, states=states,
@@ -653,6 +658,24 @@ def solve_batch_ekf(
                             # with the FTE stage's converged/grad_norm)
                             outliers=int(out["outliers"][i])))
     return results
+
+
+def _batched_marker_std(fk_and_jac, n_pose, smoothed_x, smoothed_P):
+    """Per-marker 1-sigma error bars (B, N, L, 3) from the RTS-smoothed
+    covariance — the batched twin of pipeline.ekf.marker_std_from_smoothed
+    (J_fk Sigma_pose J_fk^T at each smoothed pose)."""
+
+    def one(x, Pf):
+        _pts, J = fk_and_jac(x)  # (L, 3, n_pose)
+        S = Pf[:n_pose, :n_pose]
+        mc = jnp.einsum("lxa,ab,lyb->lxy", J, S, J)
+        return jnp.sqrt(jnp.clip(jnp.diagonal(mc, axis1=-2, axis2=-1), 0.0, None))
+
+    return np.asarray(
+        jax.jit(jax.vmap(jax.vmap(one)))(
+            jnp.asarray(smoothed_x), jnp.asarray(smoothed_P)
+        )
+    )
 
 
 _GENERIC_EKF_CACHE: Dict = {}
@@ -766,12 +789,18 @@ def solve_batch_ekf_generic(
     )
     fk_batch = jax.jit(jax.vmap(jax.vmap(model.fk)))
     pos_all = np.asarray(fk_batch(jnp.asarray(out["smoothed_x"], dtype)))
+    from ..models.skeleton import fk_and_jac_any
+
+    ms_all = _batched_marker_std(
+        fk_and_jac_any(model), n_pose, out["smoothed_x"], out["smoothed_P"]
+    )
     results = []
     for i, run in enumerate(runs):
         n0 = n_valid[i]
         states = {k2: np.asarray(v[i][:n0]) if np.asarray(v[i]).ndim else v[i]
                   for k2, v in out.items()
                   if k2 not in ("P", "smoothed_P", "outliers")}
+        states["marker_std"] = ms_all[i, :n0].astype(np.float64)
         results.append(dict(
             data_dir=run.data_dir, positions=pos_all[i, :n0].astype(np.float64),
             states=states, start_frame=run.start_frame,

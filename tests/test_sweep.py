@@ -71,6 +71,9 @@ def test_sweep_batched_ekf(dataset_root):
         # EKF settles after a burn-in; positions should track to ~dm level
         err = np.linalg.norm(res["positions"][n // 2 :] - pts3d[n // 2 :], axis=-1)
         assert np.nanmean(err) < 0.15, (res["data_dir"], np.nanmean(err))
+        # EKF-stage error bars ride through the batched path too
+        ms = res["states"]["marker_std"]
+        assert ms.shape == res["positions"].shape and (ms > 0).all()
         assert os.path.exists(os.path.join(res["data_dir"], "ekf", "ekf.pickle"))
         # untrusted sigma follows each run's own camera width
         # (src/all_optimizations.py:610) — the 1080p run must use 1920
@@ -361,6 +364,8 @@ def test_sweep_generic_ekf_and_warm_start():
         assert res["positions"].shape == (n, model.n_markers, 3)
         assert np.isfinite(res["positions"]).all(), res["data_dir"]
         assert res["states"]["smoothed_x"].shape == (n, model.n_pose)
+        ms = res["states"]["marker_std"]
+        assert ms.shape == (n, model.n_markers, 3) and (ms > 0).all()
         assert res["outliers"] >= 0
 
     warm = sweep.solve_batch_generic(model, runs, dlc_thresh=0.4,
