@@ -190,6 +190,7 @@ def main(argv=None):
                 rescue=not args.no_rescue,
                 uncertainty=args.uncertainty,
                 init_marker=args.init_marker,
+                stages=tuple(args.stages.split(",")),
             )
             return 0
         from .pipeline.sweep import sweep as run_sweep

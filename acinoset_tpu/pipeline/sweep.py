@@ -927,14 +927,19 @@ def sweep_generic(
     rescue: bool = True,
     uncertainty: bool = False,
     init_marker: str = "forehead",
+    stages: Sequence[str] = ("fte",),
 ) -> List[Dict]:
     """Batched generic-skeleton reconstruction over every run under
     root_dir — the all_flick twin for the src/build.py model family
     (humans, new animals). Groups runs by fps, solves each group as one
-    jitted sharded program via solve_batch_generic (EKF warm start,
-    unconverged-run rescue, optional error bars), and writes per-run
+    jitted sharded program per requested stage: 'fte' via
+    solve_batch_generic (EKF warm start, unconverged-run rescue,
+    optional error bars), writing per-run
     ``<run>/fte/traj_results.pickle`` in build.py's result schema
-    (src/build.py:344-378) plus solver-status extras."""
+    (src/build.py:344-378) plus solver-status extras; 'ekf' via
+    solve_batch_ekf_generic, writing ``<run>/ekf/ekf.pickle`` with the
+    smoothed states and error bars (beyond the reference — build.py has
+    no EKF stage)."""
     from ..models.skeleton import build_skeleton_model
     from ..utils.cache import enable_persistent_cache
 
@@ -952,6 +957,21 @@ def sweep_generic(
 
     all_results = []
     for fps, group in groups.items():
+        if "ekf" in stages:
+            print(f"generic EKF: {len(group)} runs @ {fps} fps as one batch")
+            ekf_results = solve_batch_ekf_generic(
+                model, group, dlc_thresh, init_marker=init_marker,
+            )
+            if save:
+                for res in ekf_results:
+                    out_dir = os.path.join(res["data_dir"], "ekf")
+                    os.makedirs(out_dir, exist_ok=True)
+                    app.save_ekf(res["states"], out_dir, res["scene_fpath"],
+                                 res["start_frame"], dlc_thresh,
+                                 positions=res["positions"])
+            if "fte" not in stages:
+                all_results.extend(ekf_results)
+                continue
         print(f"generic FTE: {len(group)} runs @ {fps} fps as one batch")
         results = solve_batch_generic(
             model, group, dlc_thresh, num_iters=num_iters,

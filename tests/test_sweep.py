@@ -409,3 +409,14 @@ def test_sweep_generic_cli_layout(tmp_path):
     assert saved["positions"].shape == (24, 15, 3)
     assert {"x", "dx", "ddx", "markers", "converged", "grad_norm"} <= set(saved)
     assert saved["cost"] < saved["cost0"]
+
+    # the generic EKF stage routes through the same file contract
+    sweep_generic(
+        str(tmp_path), f"{REF}/skeletons/new_human.pickle",
+        dlc_thresh=0.4, max_frames=24, stages=("ekf",),
+    )
+    ekf_out = run / "ekf" / "ekf.pickle"
+    assert ekf_out.exists()
+    ekf_saved = data_io.load_pickle(str(ekf_out))
+    ms = np.asarray(ekf_saved["marker_std"])
+    assert ms.shape == (24, 15, 3) and (ms > 0).all()
