@@ -586,9 +586,11 @@ def solve_batch_ekf(
     runs: Sequence[RunData],
     dlc_thresh: float,
     dtype=jnp.float32,
+    mesh=None,
 ) -> List[Dict]:
     """Batched EKF+RTS across runs (same padding scheme as the FTE batch;
-    per-run rigs ride along as vmapped camera params)."""
+    per-run rigs ride along as vmapped camera params; runs sharded over
+    the mesh's 'data' axis like the FTE batch)."""
     from ..solvers import ekf as ekf_solver
 
     fps = runs[0].fps
@@ -631,13 +633,26 @@ def solve_batch_ekf(
 
     aux = tuple(np.stack([c[j] for c in aux_b]) for j in range(4))
 
-    out = _cached_batch_ekf_solver(cfg, N, C, str(dtype), P0.tobytes())(
-        jnp.asarray(np.stack(pix_b), dtype),
-        jnp.asarray(np.stack(lik_b), dtype),
-        jnp.asarray(np.stack(x0_b), dtype),
-        tuple(jnp.asarray(a, dtype) for a in aux),
-        jnp.asarray(mpe, dtype),
+    mesh = mesh or mesh_lib.make_mesh(model_axis=False)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("data"))
+    n_dev = mesh.shape["data"]
+    (pixp, likp, x0p, mpep), B0 = mesh_lib.pad_batch(
+        [np.stack(pix_b), np.stack(lik_b), np.stack(x0_b), mpe], n_dev
     )
+    aux_p = []
+    for a in aux:
+        (ap,), _ = mesh_lib.pad_batch([a], n_dev)
+        aux_p.append(jax.device_put(jnp.asarray(ap, dtype), shard))
+    out = _cached_batch_ekf_solver(cfg, N, C, str(dtype), P0.tobytes())(
+        jax.device_put(jnp.asarray(pixp, dtype), shard),
+        jax.device_put(jnp.asarray(likp, dtype), shard),
+        jax.device_put(jnp.asarray(x0p, dtype), shard),
+        tuple(aux_p),
+        jax.device_put(jnp.asarray(mpep, dtype), shard),
+    )
+    out = {k2: v[:B0] for k2, v in out.items()}
     # EKF-stage error bars (always on — the single-run stage's contract)
     ms_all = _batched_marker_std(
         cheetah.fk25_and_jac, n_pose, out["smoothed_x"], out["smoothed_P"]
@@ -729,6 +744,7 @@ def solve_batch_ekf_generic(
     meas_std_px: float = 3.0,
     pos_process_std: float = 5.0,
     ang_process_std: float = 25.0,
+    mesh=None,
 ) -> List[Dict]:
     """Batched EKF+RTS for arbitrary skeletons — capability beyond the
     reference (src/build.py has no EKF stage; src/all_optimizations.py
@@ -778,15 +794,29 @@ def solve_batch_ekf_generic(
         x0_b.append(x0)
 
     aux = tuple(np.stack([c[j] for c in aux_b]) for j in range(4))
+
+    mesh = mesh or mesh_lib.make_mesh(model_axis=False)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("data"))
+    n_dev = mesh.shape["data"]
+    (pixp, likp, x0p, mpep), B0 = mesh_lib.pad_batch(
+        [np.stack(pix_b), np.stack(lik_b), np.stack(x0_b), mpe], n_dev
+    )
+    aux_p = []
+    for a in aux:
+        (ap,), _ = mesh_lib.pad_batch([a], n_dev)
+        aux_p.append(jax.device_put(jnp.asarray(ap, dtype), shard))
     out = _cached_batch_ekf_solver_generic(
         model, cfg, N, C, str(dtype), qb.tobytes(), P0.tobytes()
     )(
-        jnp.asarray(np.stack(pix_b), dtype),
-        jnp.asarray(np.stack(lik_b), dtype),
-        jnp.asarray(np.stack(x0_b), dtype),
-        tuple(jnp.asarray(a, dtype) for a in aux),
-        jnp.asarray(mpe, dtype),
+        jax.device_put(jnp.asarray(pixp, dtype), shard),
+        jax.device_put(jnp.asarray(likp, dtype), shard),
+        jax.device_put(jnp.asarray(x0p, dtype), shard),
+        tuple(aux_p),
+        jax.device_put(jnp.asarray(mpep, dtype), shard),
     )
+    out = {k2: v[:B0] for k2, v in out.items()}
     fk_batch = jax.jit(jax.vmap(jax.vmap(model.fk)))
     pos_all = np.asarray(fk_batch(jnp.asarray(out["smoothed_x"], dtype)))
     from ..models.skeleton import fk_and_jac_any
