@@ -180,17 +180,19 @@ def main(argv=None):
         return 0
 
     if args.cmd == "sweep":
+        warm = {"auto": "auto", "on": True, "off": False}[args.warm_start]
         if args.skeleton:
             from .pipeline.sweep import sweep_generic
 
             sweep_generic(
                 args.root_dir, args.skeleton, dlc_thresh=args.dlc_thresh,
                 num_iters=args.num_iters, max_frames=args.max_frames,
-                warm_start={"auto": "auto", "on": True, "off": False}[args.warm_start],
+                warm_start=warm,
                 rescue=not args.no_rescue,
                 uncertainty=args.uncertainty,
                 init_marker=args.init_marker,
                 stages=tuple(args.stages.split(",")),
+                relinearize_every=args.relinearize_every,
             )
             return 0
         from .pipeline.sweep import sweep as run_sweep
@@ -199,7 +201,7 @@ def main(argv=None):
             args.root_dir, dlc_thresh=args.dlc_thresh,
             num_iters=args.num_iters, max_frames=args.max_frames,
             stages=tuple(args.stages.split(",")),
-            warm_start={"auto": "auto", "on": True, "off": False}[args.warm_start],
+            warm_start=warm,
             relinearize_every=args.relinearize_every,
             rescue=not args.no_rescue,
             uncertainty=args.uncertainty,

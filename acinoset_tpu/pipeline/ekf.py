@@ -125,21 +125,36 @@ def make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr, dtype=jnp.float64):
     return hj_parts
 
 
-def marker_std_from_smoothed(smoothed_x, smoothed_P) -> np.ndarray:
-    """Per-marker 1-sigma position error bars (N, L, 3) in meters from
-    the RTS-smoothed state covariance: J_fk Sigma_pose J_fk^T with the
-    analytic FK Jacobian at each smoothed pose. The EKF-stage twin of
-    the FTE's Laplace posterior (trajopt.fte_solve compute_cov)."""
-    v = cheetah.N_ACTIVE
+def make_marker_std_fn(fk_and_jac, n_pose):
+    """Per-frame per-marker 1-sigma error bars from a smoothed state
+    covariance: ``one(x (n_pose*3?,...), Pf (S, S)) -> (L, 3)`` std in
+    meters via J_fk Sigma_pose J_fk^T at the smoothed pose. The single
+    shared core behind the single-run EKF stage, the batched sweep
+    stages, and their generic twins — the EKF-stage twin of the FTE's
+    Laplace posterior (trajopt.fte_solve compute_cov)."""
 
     def one(x, Pf):
-        _pts, J = cheetah.fk25_and_jac(x)  # J: (L, 3, P)
-        S = Pf[:v, :v]
+        _pts, J = fk_and_jac(x)  # J: (L, 3, n_pose)
+        S = Pf[:n_pose, :n_pose]
         mc = jnp.einsum("lxa,ab,lyb->lxy", J, S, J)
         return jnp.sqrt(jnp.clip(jnp.diagonal(mc, axis1=-2, axis2=-1), 0.0, None))
 
+    return one
+
+
+_MARKER_STD_JIT = None
+
+
+def marker_std_from_smoothed(smoothed_x, smoothed_P) -> np.ndarray:
+    """Per-marker 1-sigma position error bars (N, L, 3) in meters from
+    the RTS-smoothed state covariance (see make_marker_std_fn)."""
+    global _MARKER_STD_JIT
+    if _MARKER_STD_JIT is None:  # one stable jitted program per process
+        _MARKER_STD_JIT = jax.jit(jax.vmap(
+            make_marker_std_fn(cheetah.fk25_and_jac, cheetah.N_ACTIVE)
+        ))
     return np.asarray(
-        jax.jit(jax.vmap(one))(jnp.asarray(smoothed_x), jnp.asarray(smoothed_P))
+        _MARKER_STD_JIT(jnp.asarray(smoothed_x), jnp.asarray(smoothed_P))
     )
 
 

@@ -401,6 +401,7 @@ def solve_batch_generic(
     rescue: bool = True,
     plain_iters: Optional[int] = None,
     warm_start="auto",
+    relinearize_every: int = 1,
 ) -> List[Dict]:
     """Batched generic-skeleton FTE — the src/build.py path at sweep
     scale: N runs of any subject (humans, new animals) solve as ONE
@@ -434,10 +435,13 @@ def solve_batch_generic(
         if plain_iters is None:
             # the EKF init is already near the optimum and 3σ-gated
             plain_iters = 4
-    if plain_iters is not None:
+    if plain_iters is not None or relinearize_every != 1:
         from dataclasses import replace as _replace
 
-        cfg = _replace(cfg, plain_iters=plain_iters)
+        if plain_iters is not None:
+            cfg = _replace(cfg, plain_iters=plain_iters)
+        if relinearize_every != 1:
+            cfg = _replace(cfg, relinearize_every=relinearize_every)
 
     pix_b, lik_b, cams_b, n_valid, X0_b = [], [], [], [], []
     for i, run in enumerate(runs):
@@ -539,6 +543,7 @@ def solve_batch_generic(
                 exclude_markers=exclude_markers, X0_override=X0s,
                 uncertainty=uncertainty, rescue=False,
                 plain_iters=0,  # continuing a graduated solve
+                relinearize_every=relinearize_every,
             ),
         )
     return results
@@ -557,13 +562,14 @@ def _cached_batch_ekf_solver(cfg, N, C, dtype_str, p0_bytes):
         from dataclasses import replace as dc_replace
 
         from ..solvers import ekf as ekf_solver
-        from .ekf import hj_parts_aux
+        from .ekf import hj_parts_aux, make_marker_std_fn
 
         dtype = jnp.float32 if "32" in dtype_str else jnp.float64
         n_states = 3 * cheetah.N_ACTIVE
         assert len(p0_bytes) == n_states * n_states * 8, len(p0_bytes)
         P0 = np.frombuffer(p0_bytes, dtype=np.float64).reshape(n_states, n_states)
         h_aux = _h_fn_aux(dtype)
+        mstd = make_marker_std_fn(cheetah.fk25_and_jac, cheetah.N_ACTIVE)
 
         def one(pix, lik, x0, auxi, mpe_i):
             def hj(p):
@@ -571,12 +577,17 @@ def _cached_batch_ekf_solver(cfg, N, C, dtype_str, p0_bytes):
                 J = jnp.einsum("clij,ljk->clik", Jp, Jfk)
                 return hh, J.reshape(hh.shape[0], -1)
 
-            return ekf_solver.run_ekf(
+            out = ekf_solver.run_ekf(
                 lambda p: h_aux(p, auxi), pix, lik,
                 x0, jnp.asarray(P0, dtype), cheetah.EKF_QB,
                 dc_replace(cfg, max_pixel_err=mpe_i),
                 hj_fn=hj,
             )
+            # EKF-stage error bars inside the same jitted program (the
+            # single-run stage's always-on contract; a separate program
+            # would round-trip smoothed_P and re-compile per call)
+            out["marker_std"] = jax.vmap(mstd)(out["smoothed_x"], out["smoothed_P"])
+            return out
 
         _EKF_SOLVER_CACHE[key] = jax.jit(jax.vmap(one))
     return _EKF_SOLVER_CACHE[key]
@@ -653,16 +664,11 @@ def solve_batch_ekf(
         jax.device_put(jnp.asarray(mpep, dtype), shard),
     )
     out = {k2: v[:B0] for k2, v in out.items()}
-    # EKF-stage error bars (always on — the single-run stage's contract)
-    ms_all = _batched_marker_std(
-        cheetah.fk25_and_jac, n_pose, out["smoothed_x"], out["smoothed_P"]
-    )
     results = []
     for i, run in enumerate(runs):
         n0 = n_valid[i]
         states = {k2: np.asarray(v[i][:n0]) if np.asarray(v[i]).ndim else v[i]
                   for k2, v in out.items() if k2 not in ("P", "smoothed_P", "outliers")}
-        states["marker_std"] = ms_all[i, :n0].astype(np.float64)
         x_s = np.asarray(out["smoothed_x"][i][:n0], np.float64)
         positions = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(x_s)))
         results.append(dict(data_dir=run.data_dir, positions=positions, states=states,
@@ -673,24 +679,6 @@ def solve_batch_ekf(
                             # with the FTE stage's converged/grad_norm)
                             outliers=int(out["outliers"][i])))
     return results
-
-
-def _batched_marker_std(fk_and_jac, n_pose, smoothed_x, smoothed_P):
-    """Per-marker 1-sigma error bars (B, N, L, 3) from the RTS-smoothed
-    covariance — the batched twin of pipeline.ekf.marker_std_from_smoothed
-    (J_fk Sigma_pose J_fk^T at each smoothed pose)."""
-
-    def one(x, Pf):
-        _pts, J = fk_and_jac(x)  # (L, 3, n_pose)
-        S = Pf[:n_pose, :n_pose]
-        mc = jnp.einsum("lxa,ab,lyb->lxy", J, S, J)
-        return jnp.sqrt(jnp.clip(jnp.diagonal(mc, axis1=-2, axis2=-1), 0.0, None))
-
-    return np.asarray(
-        jax.jit(jax.vmap(jax.vmap(one)))(
-            jnp.asarray(smoothed_x), jnp.asarray(smoothed_P)
-        )
-    )
 
 
 _GENERIC_EKF_CACHE: Dict = {}
@@ -714,8 +702,12 @@ def _cached_batch_ekf_solver_generic(model, cfg, N, C, dtype_str,
         P0 = np.frombuffer(p0_bytes, dtype=np.float64).reshape(
             3 * n_pose, 3 * n_pose
         )
+        from .ekf import make_marker_std_fn
+
+        fkj = fk_and_jac_any(model)
         h_aux = make_h_fn_aux_generic(model.fk)
-        hj_aux = make_hj_parts_aux_generic(fk_and_jac_any(model))
+        hj_aux = make_hj_parts_aux_generic(fkj)
+        mstd = make_marker_std_fn(fkj, n_pose)
 
         def one(pix, lik, x0, auxi, mpe_i):
             def hj(p):
@@ -723,12 +715,14 @@ def _cached_batch_ekf_solver_generic(model, cfg, N, C, dtype_str,
                 J = jnp.einsum("clij,ljk->clik", Jp, Jfk)
                 return hh, J.reshape(hh.shape[0], -1)
 
-            return ekf_solver.run_ekf(
+            out = ekf_solver.run_ekf(
                 lambda p: h_aux(p, auxi), pix, lik,
                 x0, jnp.asarray(P0, dtype), qb,
                 dc_replace(cfg, max_pixel_err=mpe_i),
                 hj_fn=hj,
             )
+            out["marker_std"] = jax.vmap(mstd)(out["smoothed_x"], out["smoothed_P"])
+            return out
 
         entry = (model, jax.jit(jax.vmap(one)))
         _GENERIC_EKF_CACHE[key] = entry
@@ -819,18 +813,12 @@ def solve_batch_ekf_generic(
     out = {k2: v[:B0] for k2, v in out.items()}
     fk_batch = jax.jit(jax.vmap(jax.vmap(model.fk)))
     pos_all = np.asarray(fk_batch(jnp.asarray(out["smoothed_x"], dtype)))
-    from ..models.skeleton import fk_and_jac_any
-
-    ms_all = _batched_marker_std(
-        fk_and_jac_any(model), n_pose, out["smoothed_x"], out["smoothed_P"]
-    )
     results = []
     for i, run in enumerate(runs):
         n0 = n_valid[i]
         states = {k2: np.asarray(v[i][:n0]) if np.asarray(v[i]).ndim else v[i]
                   for k2, v in out.items()
                   if k2 not in ("P", "smoothed_P", "outliers")}
-        states["marker_std"] = ms_all[i, :n0].astype(np.float64)
         results.append(dict(
             data_dir=run.data_dir, positions=pos_all[i, :n0].astype(np.float64),
             states=states, start_frame=run.start_frame,
@@ -958,6 +946,7 @@ def sweep_generic(
     uncertainty: bool = False,
     init_marker: str = "forehead",
     stages: Sequence[str] = ("fte",),
+    relinearize_every: int = 1,
 ) -> List[Dict]:
     """Batched generic-skeleton reconstruction over every run under
     root_dir — the all_flick twin for the src/build.py model family
@@ -987,12 +976,17 @@ def sweep_generic(
 
     all_results = []
     for fps, group in groups.items():
-        if "ekf" in stages:
+        # one EKF solve per group, shared by the ekf-stage output AND the
+        # FTE warm start (mirrors the cheetah sweep's stage order)
+        group_n = max(r.pixels.shape[1] for r in group)
+        warm = (group_n > AUTO_WARM_N) if warm_start == "auto" else bool(warm_start)
+        ekf_results = None
+        if "ekf" in stages or (warm and "fte" in stages):
             print(f"generic EKF: {len(group)} runs @ {fps} fps as one batch")
             ekf_results = solve_batch_ekf_generic(
                 model, group, dlc_thresh, init_marker=init_marker,
             )
-            if save:
+            if save and "ekf" in stages:
                 for res in ekf_results:
                     out_dir = os.path.join(res["data_dir"], "ekf")
                     os.makedirs(out_dir, exist_ok=True)
@@ -1001,12 +995,17 @@ def sweep_generic(
                                  positions=res["positions"])
             if "fte" not in stages:
                 all_results.extend(ekf_results)
-                continue
-        print(f"generic FTE: {len(group)} runs @ {fps} fps as one batch")
+        if "fte" not in stages:
+            continue
+        print(f"generic FTE: {len(group)} runs @ {fps} fps as one batch"
+              + (" (EKF warm start)" if warm else ""))
         results = solve_batch_generic(
             model, group, dlc_thresh, num_iters=num_iters,
-            warm_start=warm_start, rescue=rescue, uncertainty=uncertainty,
-            init_marker=init_marker,
+            warm_start=False,
+            X0_override=(ekf_warm_starts(ekf_results) if warm else None),
+            plain_iters=(4 if warm else None),
+            rescue=rescue, uncertainty=uncertainty,
+            init_marker=init_marker, relinearize_every=relinearize_every,
         )
         all_results.extend(results)
         if save:
