@@ -151,6 +151,10 @@ def fte_generic_run(
         markers=model.markers,
         cost=float(info["cost"]),
         cost0=float(info["cost0"]),
+        # solver status (parity with the batched paths and the
+        # reference's IPOPT termination-status surfacing, SURVEY §5)
+        converged=bool(info["converged"]),
+        grad_norm=float(info["grad_norm"]),
     )
 
 
@@ -191,6 +195,7 @@ def build_and_solve(
             # lets `cli eval` align GT windows/markers by name
             markers=result["markers"], start_frame=start_frame,
             scene_fpath=scene_path,
+            converged=result["converged"], grad_norm=result["grad_norm"],
         ),
     )
     return result
