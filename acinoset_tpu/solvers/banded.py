@@ -314,19 +314,22 @@ def banded_cg_solve(
     of N. With the system Jacobi-scaled to unit diagonal (as the FTE
     solver does), ~40-60 iterations reach the accuracy a damped GN step
     needs; the surrounding accept/reject loop tolerates the remaining
-    inexactness (truncated-Newton).
+    inexactness (truncated-Newton). ``tol`` is relative, like
+    pcg_solve's: iterations freeze once |r|^2 drops below tol^2 of its
+    initial value (scaling the system cannot change the criterion).
     """
     x = jnp.zeros_like(b)
     r = b
     p = r
     rs = jnp.sum(r * r)
+    rs0 = rs
 
     def step(carry, _):
         x, r, p, rs = carry
         Ap = banded_matvec(bands, p)
         denom = jnp.sum(p * Ap)
         alpha = rs / jnp.where(denom > 0, denom, 1.0)
-        active = (rs > tol) & (denom > 0)
+        active = (rs > tol * tol * rs0) & (denom > 0)
         alpha = jnp.where(active, alpha, 0.0)
         x = x + alpha * p
         r = r - alpha * Ap

@@ -156,15 +156,29 @@ def _d3_gram_bands(N: int, Ts: float) -> np.ndarray:
 
 
 def fte_objective(X, h_fn, meas, w_meas, cfg: FteConfig):
-    """The reference objective (src/all_optimizations.py:486-500) on X."""
+    """The reference objective (src/all_optimizations.py:486-500) on X —
+    the same function ``fte_solve`` minimizes (same ``cfg.meas_loss``
+    choice, same exterior limit penalty, same NaN sanitization), for an
+    unpadded trajectory. Independent-oracle checks differentiate THIS
+    (tests/test_fte_vs_reference_solver.py), so any divergence from the
+    in-solver ``objective_from_h`` silently invalidates them."""
     q = jnp.asarray(cfg.q_var, X.dtype)
     d3 = third_difference(X, cfg.Ts)
     model_term = jnp.sum((1.0 / q) * d3 * d3)
     proj = jax.vmap(h_fn)(X)  # (N, C, L, 2)
-    e = w_meas[..., None] * (proj - meas)
+    w = jnp.where(jnp.isfinite(w_meas), w_meas, 0.0)
+    e = w[..., None] * (proj - jnp.nan_to_num(meas, nan=0.0))
     a, b, c = cfg.redesc
-    meas_term = jnp.sum(losses.redescending_loss(e, a, b, c))
-    return model_term + meas_term
+    if cfg.meas_loss == "redescending":
+        meas_term = jnp.sum(losses.redescending_loss(e, a, b, c))
+    elif cfg.meas_loss == "l1":
+        meas_term = jnp.sum(losses.huber_loss(e, a))
+    else:
+        meas_term = jnp.sum(0.5 * e * e)
+    lo = jnp.asarray(cfg.lo, X.dtype)
+    hi = jnp.asarray(cfg.hi, X.dtype)
+    viol = jnp.maximum(lo - X, 0.0) + jnp.maximum(X - hi, 0.0)
+    return model_term + meas_term + cfg.limit_penalty * jnp.sum(viol**2)
 
 
 def fte_solve(
@@ -181,8 +195,16 @@ def fte_solve(
 ):
     """Solve one FTE trajectory. Returns (X, info dict).
 
+    Status semantics: ``info["converged"]`` tests the Jacobi-scaled
+    gradient of the loss the LAST iteration actually optimized — with
+    ``num_iters <= plain_iters`` that is the quadratic surrogate, not
+    the robust objective (whose value ``cost`` always reports).
+
     ``compute_cov`` (static) adds a Laplace-posterior pass at the
-    solution: the diagonal blocks of the inverse objective Hessian via
+    solution (the pre-clamp penalized optimum: if the final joint-limit
+    clamp is active, the error bars describe the interior point the
+    penalty settled at, not the projected pose): the diagonal blocks of
+    the inverse objective Hessian via
     the two-sided banded Schur recurrence (`solvers.banded.
     block_banded_marginal_covariance`) give ``info["pose_cov"]`` — the
     (N, P, P) per-frame marginal covariance of the pose states — and,
@@ -228,6 +250,16 @@ def fte_solve(
     batch is 230 MB per evaluation and lives in the iteration carry) —
     measured ~1.5x on whole-iteration time (scripts/profile_fte.py).
     """
+    _SOLVERS = ("pcg", "cg", "chol", "chol_unrolled", "grouped", "cr", "pallas")
+    if cfg.linear_solver not in _SOLVERS:
+        raise ValueError(
+            f"unknown linear_solver {cfg.linear_solver!r}; choose from {_SOLVERS}"
+        )
+    _LOSSES = ("redescending", "l1", "quadratic")
+    if cfg.meas_loss not in _LOSSES:
+        raise ValueError(
+            f"unknown meas_loss {cfg.meas_loss!r}; choose from {_LOSSES}"
+        )
     if aux is not None:
         base_h = h_fn
         h_fn = lambda x: base_h(x, aux)  # noqa: E731
@@ -390,11 +422,14 @@ def fte_solve(
         # again on every refresh iteration)
         g = g_meas + 2.0 * g_model + g_lim  # (N, P)
 
-        bands = hessian_bands(H_meas, h_lim)
-        # LM damping
-        diag0 = bands[0][:, jnp.arange(P), jnp.arange(P)]
-        damp = lam * jnp.maximum(diag0, 1e-8)
-        bands[0] = bands[0].at[:, jnp.arange(P), jnp.arange(P)].add(damp)
+        # undamped Hessian diagonal, computed directly (the pcg branch
+        # never needs the (N, P, P) band matrices — building them just
+        # to read the diagonal bloats the trace and relies on XLA DCE)
+        diag_model = 2.0 * gram_bands[0][:, None] * wq[None, :]
+        diag0 = (
+            diag_model + jnp.diagonal(H_meas, axis1=-2, axis2=-1) + h_lim
+        )
+        damp = lam * jnp.maximum(diag0, 1e-8)  # LM damping
 
         # stationarity measure at the current linearization point: the
         # Jacobi-scaled gradient inf-norm (undamped diagonal) — the
@@ -412,7 +447,6 @@ def fte_solve(
             # c = mean frame-local diag. With n_valid masking the
             # unmasked G is used — M is then approximate, which PCG
             # tolerates.
-            diag_model = 2.0 * gram_bands[0][:, None] * wq[None, :]
             diag_extra = diag0 + damp - diag_model  # lim + damp + H diag
             # keep only H's off-diagonal structure in the einsum operand;
             # full H is fine too — but diag is already in diag_extra, so
@@ -433,6 +467,8 @@ def fte_solve(
                 num_iters=cfg.pcg_iters,
             )
         else:
+            bands = hessian_bands(H_meas, h_lim)
+            bands[0] = bands[0].at[:, jnp.arange(P), jnp.arange(P)].add(damp)
             # Jacobi (symmetric diagonal) preconditioning: the model terms
             # carry 1/Ts^4 (~1e7 at 90 fps) while measurement terms are
             # O(1e4) — rescaling to unit diagonal keeps the banded Cholesky
@@ -555,6 +591,8 @@ def derivatives_from_trajectory(X, Ts):
     cost-minimizing values (copies of their first defined neighbor),
     mirroring how IPOPT's free variables settle.
     """
+    if X.shape[0] < 2:  # degenerate 1-frame trajectory: all derivatives 0
+        return jnp.zeros_like(X), jnp.zeros_like(X)
     dx = jnp.diff(X, axis=0) / Ts
     dx = jnp.concatenate([dx[:1], dx], axis=0)
     ddx = jnp.diff(dx, axis=0) / Ts
