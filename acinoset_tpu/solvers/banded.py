@@ -187,14 +187,7 @@ def banded_solve_grouped(bands: Sequence[jnp.ndarray], g: jnp.ndarray):
     eye = jnp.eye(G, dtype=dtype)
     zv = jnp.zeros((G,), dtype)
 
-    def factor_step(Li_prev, inp):
-        d, l = inp
-        Loff = l @ Li_prev.T  # = l @ L_prev^{-T}
-        S = d - Loff @ Loff.T
-        _L0, Li = _chol_inv_unrolled(S)
-        return Li, (Li, Loff)
-
-    _, (Li, Loff) = jax.lax.scan(factor_step, eye, (diag, lower))
+    _, (Li, Loff) = jax.lax.scan(_schur_factor_step, eye, (diag, lower))
 
     def fwd(y_prev, inp):
         Lin, ln, bn = inp
@@ -212,6 +205,21 @@ def banded_solve_grouped(bands: Sequence[jnp.ndarray], g: jnp.ndarray):
 
     _, x = jax.lax.scan(bwd, zv, (Li, Loff_next, y), reverse=True)
     return x.reshape(-1, P)[:N]
+
+
+def _schur_factor_step(Li_prev, inp):
+    """One step of the block-tridiagonal Schur/Cholesky recurrence —
+    the SINGLE implementation shared by the grouped direct solve
+    (banded_solve_grouped) and the RGF marginal-covariance forward pass
+    (block_banded_marginal_covariance), so a pivot/ridge change can
+    never silently diverge the two. carry: Li_prev = chol(F_{m-1})^{-1};
+    inp: (d, l) = (D_m, B_m). Emits (Li, Loff) with
+    F_m = D_m - Loff Loff^T, Loff = B_m chol(F_{m-1})^{-T}."""
+    d, l = inp
+    Loff = l @ Li_prev.T
+    S = d - Loff @ Loff.T
+    _L0, Li = _chol_inv_unrolled(S)
+    return Li, (Li, Loff)
 
 
 def _chol_inv_unrolled(A):
@@ -458,14 +466,8 @@ def block_banded_marginal_covariance(bands: Sequence[jnp.ndarray]) -> jnp.ndarra
     dtype = diag.dtype
     eye = jnp.eye(G, dtype=dtype)
 
-    def fwd_step(Li_prev, inp):
-        d, l = inp
-        Loff = l @ Li_prev.T  # B_m chol(F_{m-1})^{-T}
-        F = d - Loff @ Loff.T
-        _L, Li = _chol_inv_unrolled(F)
-        return Li, Li
-
-    _, Li = jax.lax.scan(fwd_step, eye, (diag, lower))  # lower[0] = 0 -> F_0 = D_0
+    # lower[0] = 0 -> F_0 = D_0
+    _, (Li, _Loff) = jax.lax.scan(_schur_factor_step, eye, (diag, lower))
     Finv = jnp.einsum("mki,mkj->mij", Li, Li)  # (M, G, G)
 
     B_next = jnp.concatenate([lower[1:], jnp.zeros((1, G, G), dtype)])
