@@ -372,13 +372,27 @@ def fte_solve(
             er = (w_flat_all * w_irls * e).reshape(N, C, Lm, 2)
             A = jnp.einsum("nclui,nclu,ncluj->nlij", JpX, omega, JpX)
             H_meas = jnp.einsum("nlxa,nlxy,nlyb->nab", JfkX, A, JfkX)
-            bv = jnp.einsum("nclui,nclu->nli", JpX, er)
-            g_meas = jnp.einsum("nlxa,nlx->na", JfkX, bv)
+            # the GRADIENT contractions are pinned to exact-f32 MXU
+            # passes: at the optimum g_meas is a near-cancelling sum, and
+            # the default bf16 operand passes leave a noise floor that
+            # dominates the Jacobi-scaled stationarity test on TPU
+            # (measured: gn median 0.18 at 14 iters AND 0.12 at 40 iters
+            # with marker error fully converged, vs 0.013 on exact-f32
+            # CPU — scripts/probe_stat_tpu.py). These einsums are ~1% of
+            # the H contractions' FLOPs, so HIGHEST precision is free.
+            bv = jnp.einsum(
+                "nclui,nclu->nli", JpX, er, precision=jax.lax.Precision.HIGHEST
+            )
+            g_meas = jnp.einsum(
+                "nlxa,nlx->na", JfkX, bv, precision=jax.lax.Precision.HIGHEST
+            )
         else:
             J = JX * w_flat_all[..., None]  # d e / d x  (N, m, P)
             Wm = w_irls  # (N, m)
             H_meas = jnp.einsum("nmi,nm,nmj->nij", J, Wm, J)  # (N, P, P)
-            g_meas = jnp.einsum("nmi,nm,nm->ni", J, Wm, e)  # (N, P)
+            g_meas = jnp.einsum(  # exact-f32: see hj_parts branch note
+                "nmi,nm,nm->ni", J, Wm, e, precision=jax.lax.Precision.HIGHEST
+            )  # (N, P)
         return H_meas, g_meas
 
     def limit_hessian(X):
