@@ -118,6 +118,21 @@ class FteConfig:
     #: 0.5 let a starved run through at gn 0.486 with 12x the marker
     #: error of its rescued solve.
     stat_tol: float = 0.05
+    #: run the LAST polish_iters of the num_iters budget under pinned
+    #: full-f32 matmul precision (re-evaluating the carry h/J/cost at
+    #: the segment boundary so the accept test stays self-consistent).
+    #: Why: on TPU the default-bf16 iterations converge to a bf16
+    #: stationary point whose EXACT Jacobi-scaled gradient is ~0.06-0.2
+    #: — above stat_tol even though marker error equals the CPU solve
+    #: (measured, scripts/probe_stat_tpu.py) — so without a pinned tail
+    #: the stationarity flag can never pass on the production backend.
+    #: One exact final step pulls converged runs back under the
+    #: universal 0.05 boundary; the pinned linearization is then reused
+    #: for the status gradient at no extra cost. On CPU the precision
+    #: pin is a no-op and the split is arithmetic-identical. 0 restores
+    #: the single-segment schedule (status then pays a standalone
+    #: pinned evaluation pass).
+    polish_iters: int = 1
 
 
 def third_difference(X, Ts):
@@ -373,13 +388,14 @@ def fte_solve(
             A = jnp.einsum("nclui,nclu,ncluj->nlij", JpX, omega, JpX)
             H_meas = jnp.einsum("nlxa,nlxy,nlyb->nab", JfkX, A, JfkX)
             # the GRADIENT contractions are pinned to exact-f32 MXU
-            # passes: at the optimum g_meas is a near-cancelling sum, and
-            # the default bf16 operand passes leave a noise floor that
-            # dominates the Jacobi-scaled stationarity test on TPU
-            # (measured: gn median 0.18 at 14 iters AND 0.12 at 40 iters
-            # with marker error fully converged, vs 0.013 on exact-f32
-            # CPU — scripts/probe_stat_tpu.py). These einsums are ~1% of
-            # the H contractions' FLOPs, so HIGHEST precision is free.
+            # passes: at the optimum g_meas is a near-cancelling sum and
+            # these einsums are ~1% of the H contractions' FLOPs, so
+            # HIGHEST precision is free. NOTE (measured,
+            # scripts/probe_stat_tpu.py): pinning the contraction alone
+            # does NOT recover the CPU-level stationarity floor on TPU —
+            # the bf16 noise lives in the operands (hX/JX from the FK
+            # einsum), so the solver status is decided by the separate
+            # fully-pinned final evaluation after the iteration loop.
             bv = jnp.einsum(
                 "nclui,nclu->nli", JpX, er, precision=jax.lax.Precision.HIGHEST
             )
@@ -533,13 +549,43 @@ def fte_solve(
         lam = jnp.clip(jnp.where(ok, lam * cfg.lam_down, lam * cfg.lam_up), 1e-10, 1e10)
         return (X, hX, JX, lam, cost, ~ok), (cost, gnorm)
 
+    n_polish = min(max(int(cfg.polish_iters), 0), int(cfg.num_iters))
+    n_main = int(cfg.num_iters) - n_polish
     h0, J0 = hj_batch(X0)
     cost0 = objective_from_h(X0, h0)
-    (X, hX, JX, lam, cost, _), (cost_hist, gnorm_hist) = jax.lax.scan(
-        gn_step,
-        (X0, h0, J0, jnp.asarray(cfg.lam0, dtype), cost0, jnp.asarray(False)),
-        jnp.arange(cfg.num_iters),
+    # the per-iteration gnorm trace is kept in the scan for debugging
+    # but is dead by default (XLA removes it): the status gradient is
+    # evaluated under pinned precision below
+    carry = (X0, h0, J0, jnp.asarray(cfg.lam0, dtype), cost0, jnp.asarray(False))
+    carry, (cost_hist, _gnorm_hist) = jax.lax.scan(
+        gn_step, carry, jnp.arange(n_main)
     )
+    if n_polish > 0:
+        # pinned-f32 polish tail (see FteConfig.polish_iters): the carry
+        # h/J/cost are re-evaluated inside the pinned context first —
+        # comparing a pinned candidate cost against a bf16 carried cost
+        # would spuriously reject steps whose true decrement is below
+        # the bf16 noise floor. On CPU this re-evaluation reproduces the
+        # carried values exactly and the trajectory is unchanged.
+        with jax.default_matmul_precision("float32"):
+            X_m = carry[0]
+            h_p, J_p = hj_batch(X_m)
+            cost_p = objective_from_h(X_m, h_p)
+            # clamp the LM damping at the segment boundary: on the bf16
+            # cost plateau late iterations see no real decrement, the
+            # accept test rejects, and lam ratchets up to ~1e6+ — an
+            # over-damped pinned step then cannot restore stationarity
+            # (measured: 40-iter runs ended at gn ~0.09 vs 0.015 for
+            # 14-iter runs whose lam was still small). The exact-f32
+            # accept test below re-rejects the step if undamping was
+            # wrong, so this is safe.
+            lam_p = jnp.minimum(carry[3], jnp.asarray(cfg.lam0, dtype))
+            carry = (X_m, h_p, J_p, lam_p, cost_p, jnp.asarray(False))
+            carry, (cost_hist_p, _gn_p) = jax.lax.scan(
+                gn_step, carry, n_main + jnp.arange(n_polish)
+            )
+        cost_hist = jnp.concatenate([cost_hist, cost_hist_p])
+    (X, hX, JX, lam, cost, _) = carry
     extra = {}
     if compute_cov:
         # Laplace posterior at the solution: undamped Hessian bands at
@@ -583,13 +629,47 @@ def fte_solve(
             extra["marker_cov"] = mc
             extra["marker_std"] = jnp.sqrt(jnp.clip(
                 jnp.diagonal(mc, axis1=-2, axis2=-1), 0.0, None))
-    X = jnp.clip(X, lo, hi)
     # solver-status surfacing (the reference streamed IPOPT's termination
     # status, SURVEY.md §5): converged = stationarity, the Jacobi-scaled
-    # gradient inf-norm at the last linearization point below stat_tol —
+    # gradient inf-norm at the final accepted solution below stat_tol —
     # the analog of IPOPT's scaled-dual-infeasibility test (tol there a
-    # loose 1e-1, src/all_optimizations.py:512)
-    grad_norm = gnorm_hist[-1]
+    # loose 1e-1, src/all_optimizations.py:512).
+    #
+    # The status gradient is a fully-f32-pinned evaluation, not the
+    # in-loop gnorm trace: on TPU the default-bf16 loop's hX/JX come out
+    # of bf16 MXU einsums (the FK chain), which sets a noise floor of
+    # gn ~ 0.12-0.23 at the optimum — 10x the CPU floor and 3-5x
+    # stat_tol — so the bf16 history cannot decide convergence on the
+    # production backend (measured: scripts/probe_stat_tpu.py; pinning
+    # only the gradient contraction did NOT recover the floor because
+    # the noise lives in the operands, not the contraction). When the
+    # polish tail ran, its carried hX/JX are already pinned evaluations
+    # at the accepted solution and are reused here for free; otherwise
+    # this pays one standalone pinned measurement pass, which XLA
+    # dead-code-eliminates for callers that drop the status outputs.
+    # Evaluated at the pre-clip linearization state, matching the
+    # in-loop criterion and the posterior-covariance pass above.
+    with jax.default_matmul_precision("float32"):
+        if n_polish > 0:
+            h_st, J_st = hX, JX
+        else:
+            h_st, J_st = hj_batch(X)
+        robust_st = jnp.asarray(cfg.num_iters > cfg.plain_iters)
+        H_meas_st, g_meas_st = meas_normal_pieces(h_st, J_st, robust_st)
+        d3_st = third_difference(X, cfg.Ts) * row_mask[:, None]
+        g_model_st = _d3_correlate(d3_st * wq, cfg.Ts)
+        _vl_st, _vh_st, h_lim_st = limit_hessian(X)
+        g_lim_st = 2.0 * cfg.limit_penalty * (_vh_st - _vl_st)
+        g_st = g_meas_st + 2.0 * g_model_st + g_lim_st
+        diag_st = (
+            2.0 * gram_bands[0][:, None] * wq[None, :]
+            + jnp.diagonal(H_meas_st, axis1=-2, axis2=-1)
+            + h_lim_st
+        )
+        grad_norm = jnp.max(
+            jnp.abs(g_st) * jax.lax.rsqrt(jnp.maximum(diag_st, 1e-12))
+        )
+    X = jnp.clip(X, lo, hi)
     converged = grad_norm <= cfg.stat_tol
     return X, dict(
         cost=cost, cost0=cost0, cost_history=cost_hist, lam=lam,

@@ -264,6 +264,51 @@ def test_fte_stationarity_status(synth):
     assert short["grad_norm"] > 0.05, short["grad_norm"]
 
 
+def test_fte_polish_tail_matches_single_segment(synth):
+    """The pinned-f32 polish tail (polish_iters, the TPU stationarity
+    fix) must be a pure precision change: on CPU the matmul-precision
+    pin is a no-op, so splitting the budget into bf16+polish segments
+    — including the boundary re-evaluation of h/J/cost and the LM
+    damping clamp — reaches the same solution and the same status as
+    the single-segment schedule."""
+    from dataclasses import replace
+
+    from acinoset_tpu.pipeline.ekf import make_hj_parts_fn
+    from acinoset_tpu.pipeline.fte import initial_trajectory
+
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
+    hj_parts = make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr)
+    N = pixels.shape[1]
+    X0 = jnp.asarray(
+        initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr,
+                           np.arange(N), 0.5)
+    )
+    meas = jnp.asarray(pixels.transpose(1, 0, 2, 3))
+    cfg1 = default_config(90.0, num_iters=30)
+    w = jnp.asarray((likelihood.transpose(1, 0, 2) > 0.5) / cfg1.meas_std_px)
+
+    results = {}
+    for n_pol in (0, 1, 2):
+        cfg = replace(cfg1, polish_iters=n_pol)
+        X, info = trajopt.fte_solve(h, X0, meas, w, cfg, hj_parts_fn=hj_parts)
+        results[n_pol] = (np.asarray(X), info)
+        assert info["cost_history"].shape == (30,)
+    X_ref, info_ref = results[0]
+    for n_pol in (1, 2):
+        X_p, info_p = results[n_pol]
+        np.testing.assert_allclose(X_p, X_ref, atol=5e-5)
+        np.testing.assert_allclose(
+            float(info_p["cost"]), float(info_ref["cost"]), rtol=1e-6
+        )
+        assert bool(info_p["converged"]) == bool(info_ref["converged"])
+        np.testing.assert_allclose(
+            float(info_p["grad_norm"]), float(info_ref["grad_norm"]),
+            rtol=0.05, atol=1e-4,
+        )
+
+
 def test_fte_posterior_uncertainty_calibrated(synth):
     """Laplace-posterior error bars (compute_cov / fte_run uncertainty):
     per-marker 1-sigma stds must be positive, mm-to-cm scale, and
