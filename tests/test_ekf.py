@@ -91,6 +91,44 @@ def test_ekf_f32_matches_f64(synth):
         assert mk_gap.mean() < 1e-2, (key, mk_gap.mean())
 
 
+def test_ekf_sequential_smoother_matches_associative(synth):
+    """The memory-lean long-horizon smoother (reverse lax.scan) must be
+    numerically equal to the associative-scan form — same recursion,
+    different evaluation order (the associative form RESOURCE_EXHAUSTs
+    a 16 GB chip at B=96/N=600, solvers/ekf.py)."""
+    import jax.numpy as jnp
+
+    from acinoset_tpu.pipeline.ekf import make_h_fn
+    from acinoset_tpu.solvers import ekf as ekf_solver
+
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    n_pose = cheetah.N_ACTIVE
+    cfg = ekf_solver.EkfConfig(
+        dt=1 / 90.0, dlc_thresh=0.5, max_pixel_err=float(res[0])
+    )
+    x0 = np.zeros(3 * n_pose)
+    x0[:3] = X_true[0, :3]
+    P0 = np.eye(3 * n_pose) * 0.5
+    h_fn = make_h_fn(k_arr, d_arr, r_arr, t_arr)
+    args = (
+        h_fn, jnp.asarray(pixels.transpose(1, 0, 2, 3)),
+        jnp.asarray(likelihood.transpose(1, 0, 2)),
+        jnp.asarray(x0), jnp.asarray(P0), cheetah.EKF_QB, cfg,
+    )
+    s_assoc = ekf_solver.run_ekf(*args, smoother="associative")
+    s_seq = ekf_solver.run_ekf(*args, smoother="sequential")
+    for key in ("smoothed_x", "smoothed_dx", "smoothed_ddx"):
+        np.testing.assert_allclose(
+            np.asarray(s_seq[key]), np.asarray(s_assoc[key]),
+            rtol=1e-8, atol=1e-9,
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_seq["smoothed_P"]), np.asarray(s_assoc["smoothed_P"]),
+        rtol=1e-6, atol=1e-9,
+    )
+
+
 def test_ekf_constant_acc_blocks():
     from acinoset_tpu.solvers import ekf as ekf_solver
 
