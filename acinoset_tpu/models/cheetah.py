@@ -422,7 +422,12 @@ def to_skeleton_dict():
     marker's rotation from its own part dofs, which is a slightly
     different factorization than the FTE chain (where eyes/nose ride the
     head frame); the exported dict is for interchange/visualization, the
-    canonical FTE model remains `fk`.
+    canonical FTE model remains `fk`. The dict therefore carries
+    ``fk_equivalent=False``: ``build_skeleton_model`` refuses to compile
+    it into a solvable generic model unless explicitly overridden
+    (``allow_fk_mismatch=True``), closing the silent path where a user
+    solves the exported dict and gets a different kinematic model than
+    the flagship solver (VERDICT r3 item 8).
     """
     zero = np.asarray(fk(np.zeros(N_POSE)))
     positions = {m: list(map(float, zero[i])) for i, m in enumerate(MARKERS)}
@@ -443,4 +448,6 @@ def to_skeleton_dict():
         ["tail_base", "r_hip"], ["r_hip", "r_back_knee"], ["r_back_knee", "r_back_ankle"],
         ["nose", "l_eye"], ["nose", "r_eye"],
     ]
-    return dict(links=links, dofs=dof_map, positions=positions, markers=list(MARKERS))
+    return dict(links=links, dofs=dof_map, positions=positions,
+                markers=list(MARKERS), model="cheetah_fte",
+                fk_equivalent=False)

@@ -72,15 +72,33 @@ def build_skeleton_model(
     skel_dict: Dict,
     promote_markers_to_3dof: bool = True,
     compat: str = "tpu",
+    allow_fk_mismatch: bool = False,
 ) -> SkeletonModel:
     """Compile a skeleton dict into a SkeletonModel.
 
     compat="tpu" (default): by-name marker/FK association, cumulative
     inverse offset rotation. compat="reference": bit-faithful twin of
     src/build.py:28-95 (see module docstring).
+
+    Dicts exported from a flagship model for interchange/visualization
+    carry ``fk_equivalent=False`` (e.g. models.cheetah.to_skeleton_dict:
+    the generic chain semantics would yield a DIFFERENT kinematic model
+    than the flagship FK). Compiling one is refused unless
+    ``allow_fk_mismatch=True``, so nobody silently solves the wrong
+    model.
     """
     if compat not in ("tpu", "reference"):
         raise ValueError(f"unknown compat mode {compat!r}")
+    if skel_dict.get("fk_equivalent") is False and not allow_fk_mismatch:
+        raise ValueError(
+            "this skeleton dict was exported for interchange/"
+            f"visualization (model={skel_dict.get('model')!r}); its "
+            "generic-FK evaluation does NOT reproduce the flagship "
+            "kinematic chain. Solve with the flagship model instead "
+            "(for 'cheetah_fte': acinoset_tpu.models.cheetah + "
+            "pipeline.fte/sweep), or pass allow_fk_mismatch=True to "
+            "compile it anyway for visualization-grade use."
+        )
     links = [list(l) for l in skel_dict["links"]]
     positions = {k: np.asarray(v, dtype=np.float64) for k, v in skel_dict["positions"].items()}
     dofs = {k: list(v) for k, v in skel_dict["dofs"].items()}
