@@ -38,7 +38,7 @@ convergence targets the same optimum IPOPT sought (tol there was a loose
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +88,13 @@ class FteConfig:
     pcg_iters: int = 16
     limit_penalty: float = 1e4
     lam0: float = 1e-2
+    #: starting LM damping; None = lam0. A warm restart that continues a
+    #: previous solve (e.g. the sweep's rescue pass) can hand the carried
+    #: damping back in; also the deterministic handle for exercising the
+    #: polish-boundary lam clamp (CPU f64 LM virtually never rejects on
+    #: this problem family, so a naturally ratcheted lam cannot be
+    #: produced in unit tests).
+    lam_init: Optional[float] = None
     lam_up: float = 4.0
     #: LM damping decay on accept. 0.5 (gentle) measured strictly better
     #: than the former 0.25: aggressive decay made a ~15% tail of
@@ -107,10 +114,12 @@ class FteConfig:
     #: kept as an option for jacfwd-mode models where J truly dominates.
     relinearize_every: int = 1
     #: stationarity tolerance: converged when the Jacobi-scaled gradient
-    #: inf-norm  max_i |g_i| / sqrt(H_ii)  at the last linearization
-    #: point falls below this (units ~ sqrt(cost decrement per scaled
-    #: coordinate step); IPOPT's analogous dual-infeasibility tol on
-    #: this problem was a loose 1e-1, src/all_optimizations.py:512).
+    #: inf-norm  max_i |g_i| / sqrt(H_ii)  — evaluated FRESH at the
+    #: final accepted solution under pinned-f32 matmul precision (see
+    #: the status block in fte_solve) — falls below this (units ~
+    #: sqrt(cost decrement per scaled coordinate step); IPOPT's
+    #: analogous dual-infeasibility tol on this problem was a loose
+    #: 1e-1, src/all_optimizations.py:512).
     #: 0.05 is the measured separation boundary on the flagship
     #: workload (f32, B=24): fully-converged runs land at gn <= 0.049
     #: (14/20/40 iters alike) while under-converged 10-iter runs
@@ -129,9 +138,13 @@ class FteConfig:
     #: One exact final step pulls converged runs back under the
     #: universal 0.05 boundary; the pinned linearization is then reused
     #: for the status gradient at no extra cost. On CPU the precision
-    #: pin is a no-op and the split is arithmetic-identical. 0 restores
-    #: the single-segment schedule (status then pays a standalone
-    #: pinned evaluation pass).
+    #: pin is a no-op and the split is arithmetic-identical WHEN the
+    #: boundary lam is still <= lam0 (the common converged case); if
+    #: late rejects ratcheted lam above lam0, the boundary clamp
+    #: deliberately undamps the polish step, so the split can then
+    #: reach a (better) different point than the single segment. 0
+    #: restores the single-segment schedule (status then pays a
+    #: standalone pinned evaluation pass).
     polish_iters: int = 1
 
 
@@ -227,7 +240,12 @@ def fte_solve(
     per-marker 3D covariance/std in meters (J_fk Sigma J_fk^T). The
     reference's IPOPT pipeline never exposed this (the KKT factorization
     is discarded, src/all_optimizations.py:503-516). Unobserved
-    directions honestly surface as huge variances. The GN (IRLS-
+    directions honestly surface as huge variances. In float32 the pass
+    additionally reports ``info["cov_ridge_shrink"]`` — the relative
+    variance shrink of the floppiest direction caused by the f32
+    stabilizing ridge (~0 when the error bars are trustworthy; values
+    approaching 1 mean near-floppy DoFs whose 1-sigma is under-reported
+    — recompute in f64 if those bars matter). The GN (IRLS-
     weighted) Hessian approximates the robust likelihood's curvature;
     with relinearize_every > 1 the last refreshed Jacobian is used.
 
@@ -417,6 +435,28 @@ def fte_solve(
         h_lim = 2.0 * cfg.limit_penalty * ((viol_lo > 0) | (viol_hi > 0)).astype(dtype)
         return viol_lo, viol_hi, h_lim
 
+    def objective_grad_and_diag(X, H_meas, g_meas):
+        """Full objective gradient and undamped Jacobi diagonal at X,
+        given the measurement GN pieces — the ONE assembly of
+        g = g_meas + 2 g_model + g_lim and diag = model + H_meas diag +
+        h_lim, shared by the iteration step and the solver-status
+        evaluation (duplicating it inline was a drift risk).
+
+        Gradient factors: the model term sum w*d3^2 has no 1/2 so its
+        gradient carries a 2; the measurement rho is ~e^2/2 near zero so
+        its GN pieces enter with factor 1 (rho' = w_irls*e, rho'' ~
+        w_irls). With a lagged Jacobian g_meas is the chord gradient —
+        exact again on every refresh iteration.
+        """
+        d3 = third_difference(X, cfg.Ts) * row_mask[:, None]  # (N-3, P)
+        g_model = _d3_correlate(d3 * wq, cfg.Ts)  # = D3^T M W D3 X
+        viol_lo, viol_hi, h_lim = limit_hessian(X)
+        g_lim = 2.0 * cfg.limit_penalty * (viol_hi - viol_lo)
+        g = g_meas + 2.0 * g_model + g_lim  # (N, P)
+        diag_model = 2.0 * gram_bands[0][:, None] * wq[None, :]
+        diag0 = diag_model + jnp.diagonal(H_meas, axis1=-2, axis2=-1) + h_lim
+        return g, diag0, diag_model, h_lim
+
     def hessian_bands(H_meas, h_lim):
         """Undamped objective-Hessian bands: 2x model gram + measurement
         GN blocks + active limit-penalty diagonal."""
@@ -434,31 +474,12 @@ def fte_solve(
         robust_on = it >= cfg.plain_iters
 
         # ---- measurement GN pieces, frame-local (hX, JX carried from
-        # the previous iteration's candidate evaluation)
+        # the previous iteration's candidate evaluation), then the full
+        # gradient + undamped Jacobi diagonal via the shared assembly
+        # (the pcg branch never materializes the (N, P, P) band
+        # matrices — the diagonal is computed directly)
         H_meas, g_meas = meas_normal_pieces(hX, JX, robust_on)
-
-        # ---- model (third-difference) pieces, banded
-        d3 = third_difference(X, cfg.Ts) * row_mask[:, None]  # (N-3, P)
-        g_model = _d3_correlate(d3 * wq, cfg.Ts)  # = D3^T M W D3 X
-
-        # ---- limits (quadratic penalty), frame-local diagonal
-        viol_lo, viol_hi, h_lim = limit_hessian(X)
-        g_lim = 2.0 * cfg.limit_penalty * (viol_hi - viol_lo)  # d/dX of penalty
-
-        # gradients: the model term sum w*d3^2 has no 1/2 so its gradient
-        # carries a 2; the measurement rho is ~e^2/2 near zero so its GN
-        # pieces enter with factor 1 (ρ' = w_irls * e, ρ'' ~ w_irls)
-        # (with a lagged Jacobian g_meas is the chord gradient — exact
-        # again on every refresh iteration)
-        g = g_meas + 2.0 * g_model + g_lim  # (N, P)
-
-        # undamped Hessian diagonal, computed directly (the pcg branch
-        # never needs the (N, P, P) band matrices — building them just
-        # to read the diagonal bloats the trace and relies on XLA DCE)
-        diag_model = 2.0 * gram_bands[0][:, None] * wq[None, :]
-        diag0 = (
-            diag_model + jnp.diagonal(H_meas, axis1=-2, axis2=-1) + h_lim
-        )
+        g, diag0, diag_model, h_lim = objective_grad_and_diag(X, H_meas, g_meas)
         damp = lam * jnp.maximum(diag0, 1e-8)  # LM damping
 
         # stationarity measure at the current linearization point: the
@@ -556,7 +577,8 @@ def fte_solve(
     # the per-iteration gnorm trace is kept in the scan for debugging
     # but is dead by default (XLA removes it): the status gradient is
     # evaluated under pinned precision below
-    carry = (X0, h0, J0, jnp.asarray(cfg.lam0, dtype), cost0, jnp.asarray(False))
+    lam_start = cfg.lam0 if cfg.lam_init is None else cfg.lam_init
+    carry = (X0, h0, J0, jnp.asarray(lam_start, dtype), cost0, jnp.asarray(False))
     carry, (cost_hist, _gnorm_hist) = jax.lax.scan(
         gn_step, carry, jnp.arange(n_main)
     )
@@ -611,7 +633,8 @@ def fte_solve(
         bands_s = [
             bands_f[k] * s[:, :, None] * s_shift[k][:, None, :] for k in range(4)
         ]
-        if dtype == jnp.float32:
+        ridge = 1e-6 if dtype == jnp.float32 else 0.0
+        if ridge:
             # the Jacobi-scaled Hessian's ~1e8 conditioning exceeds
             # 1/eps_f32: rounding drives Schur pivots negative and the
             # clamped inverses overflow to inf -> nan. A weak prior
@@ -619,16 +642,68 @@ def fte_solve(
             # positive. Measured vs the f64 posterior on the synthetic
             # fixture: median std ratio 0.975 (5th pct 0.69 — only the
             # near-floppy tail is shrunk). f64 needs none (1e-12 exact).
-            bands_s[0] = bands_s[0] + 1e-6 * jnp.eye(P, dtype=dtype)
+            bands_s[0] = bands_s[0] + ridge * jnp.eye(P, dtype=dtype)
         Zs = block_banded_marginal_covariance(bands_s)
         pose_cov = Zs * s[:, :, None] * s[:, None, :]
         extra["pose_cov"] = pose_cov
+        if ridge:
+            # which error bars did the f32 ridge shrink? Run the same
+            # recurrence at DOUBLE the ridge and Richardson-extrapolate
+            # each variance to r=0: with v(r) the computed variance,
+            # v0 ~= v(r) + (v(r) - v(2r)) to first order in r, so the
+            # RELATIVE deficit of the reported variance is
+            #   shrink = (v0 - v(r)) / v0 = (v1 - v2) / (2 v1 - v2).
+            # Exactly 0 where the ridge is irrelevant, -> 1 for
+            # near-floppy directions; measured (not modeled) — the
+            # diagonal-sensitivity estimate r*Z^2 overstated the
+            # flagship's affected fraction 10x. Costs one extra scan,
+            # only when compute_cov is on.
+            bands_s2 = list(bands_s)
+            bands_s2[0] = bands_s2[0] + ridge * jnp.eye(P, dtype=dtype)
+            Zs2 = block_banded_marginal_covariance(bands_s2)
+            z1 = jnp.diagonal(Zs, axis1=-2, axis2=-1)
+            z2 = jnp.diagonal(Zs2, axis1=-2, axis2=-1)
+            rel_pose = jnp.clip(
+                (z1 - z2) / jnp.maximum(2.0 * z1 - z2, 1e-30), 0.0, 1.0
+            )
+            if n_valid is not None:
+                live = (jnp.arange(N) < n_valid)[:, None]
+                rel_pose = jnp.where(live, rel_pose, 0.0)
+            # worst pose-direction relative variance shrink (padded
+            # frames are identity pins — masked out above)
+            extra["cov_ridge_shrink"] = jnp.max(rel_pose)
+            pose_cov2 = Zs2 * s[:, :, None] * s[:, None, :]
+        else:
+            extra["cov_ridge_shrink"] = jnp.zeros((), dtype)
+            pose_cov2 = None
         if hj_parts_fn is not None:
             _JpX, JfkX = JX
             mc = jnp.einsum("nlxa,nab,nlyb->nlxy", JfkX, pose_cov, JfkX)
             extra["marker_cov"] = mc
-            extra["marker_std"] = jnp.sqrt(jnp.clip(
-                jnp.diagonal(mc, axis1=-2, axis2=-1), 0.0, None))
+            mvar = jnp.clip(jnp.diagonal(mc, axis1=-2, axis2=-1), 0.0, None)
+            extra["marker_std"] = jnp.sqrt(mvar)
+            if ridge:
+                # per-cell marker-space deficit by the same two-point
+                # extrapolation, plus the fraction of live cells whose
+                # bars are >10% understated in variance — the per-run
+                # "which error bars are affected" signal
+                mc2 = jnp.einsum("nlxa,nab,nlyb->nlxy", JfkX, pose_cov2, JfkX)
+                v1 = mvar
+                v2 = jnp.clip(jnp.diagonal(mc2, axis1=-2, axis2=-1), 0.0, None)
+                rel = jnp.clip(
+                    (v1 - v2) / jnp.maximum(2.0 * v1 - v2, 1e-30), 0.0, 1.0
+                )
+                extra["marker_std_ridge_shrink"] = rel
+                if n_valid is not None:
+                    live_cells = jnp.broadcast_to(
+                        live[:, :, None], rel.shape
+                    ).astype(dtype)
+                else:
+                    live_cells = jnp.ones_like(rel)
+                hit = (rel > 0.1).astype(dtype) * live_cells
+                extra["cov_ridge_frac"] = jnp.sum(hit) / jnp.maximum(
+                    jnp.sum(live_cells), 1.0
+                )
     # solver-status surfacing (the reference streamed IPOPT's termination
     # status, SURVEY.md §5): converged = stationarity, the Jacobi-scaled
     # gradient inf-norm at the final accepted solution below stat_tol —
@@ -650,21 +725,19 @@ def fte_solve(
     # Evaluated at the pre-clip linearization state, matching the
     # in-loop criterion and the posterior-covariance pass above.
     with jax.default_matmul_precision("float32"):
-        if n_polish > 0:
+        if n_polish > 0 and lag == 1:
             h_st, J_st = hX, JX
         else:
+            # no polish tail ran (standalone pinned pass), or the
+            # Jacobian is lagged (relinearize_every > 1: an accepted
+            # polish step that skipped the refresh leaves JX linearized
+            # at the pre-step point, so the carried factors would give a
+            # chord gradient at a stale linearization)
             h_st, J_st = hj_batch(X)
         robust_st = jnp.asarray(cfg.num_iters > cfg.plain_iters)
         H_meas_st, g_meas_st = meas_normal_pieces(h_st, J_st, robust_st)
-        d3_st = third_difference(X, cfg.Ts) * row_mask[:, None]
-        g_model_st = _d3_correlate(d3_st * wq, cfg.Ts)
-        _vl_st, _vh_st, h_lim_st = limit_hessian(X)
-        g_lim_st = 2.0 * cfg.limit_penalty * (_vh_st - _vl_st)
-        g_st = g_meas_st + 2.0 * g_model_st + g_lim_st
-        diag_st = (
-            2.0 * gram_bands[0][:, None] * wq[None, :]
-            + jnp.diagonal(H_meas_st, axis1=-2, axis2=-1)
-            + h_lim_st
+        g_st, diag_st, _dm_st, _hl_st = objective_grad_and_diag(
+            X, H_meas_st, g_meas_st
         )
         grad_norm = jnp.max(
             jnp.abs(g_st) * jax.lax.rsqrt(jnp.maximum(diag_st, 1e-12))

@@ -268,9 +268,13 @@ def test_fte_polish_tail_matches_single_segment(synth):
     """The pinned-f32 polish tail (polish_iters, the TPU stationarity
     fix) must be a pure precision change: on CPU the matmul-precision
     pin is a no-op, so splitting the budget into bf16+polish segments
-    — including the boundary re-evaluation of h/J/cost and the LM
-    damping clamp — reaches the same solution and the same status as
-    the single-segment schedule."""
+    — including the boundary re-evaluation of h/J/cost — reaches the
+    same solution and the same status as the single-segment schedule.
+    Precondition (ADVICE r3): this workload converges with lam still
+    <= lam0 at the segment boundary, so the deliberate boundary lam
+    clamp is inactive; a reject-heavy run that ratcheted lam above
+    lam0 is ALLOWED to land on a (better) different point — that path
+    is exercised separately below."""
     from dataclasses import replace
 
     from acinoset_tpu.pipeline.ekf import make_hj_parts_fn
@@ -307,6 +311,119 @@ def test_fte_polish_tail_matches_single_segment(synth):
             float(info_p["grad_norm"]), float(info_ref["grad_norm"]),
             rtol=0.05, atol=1e-4,
         )
+
+
+def test_fte_polish_lam_clamp_path(synth):
+    """Exercise the boundary LM-damping clamp (ADVICE r3). CPU f64 LM
+    virtually never rejects on this problem family (measured: even
+    15%-outlier runs accept every step), so a naturally ratcheted lam
+    cannot be produced here — `lam_init` hands the solver a damping
+    that has ratcheted to 1e6 (the measured TPU plateau value). With
+    num_iters=4, polish_iters=4 the main segment is empty and the
+    polish boundary sees lam=1e6: the clamp must undamp to lam0 so the
+    (inexact-pcg) exact-model steps restore stationarity from a
+    perturbed start — while the unclamped control (polish_iters=0) is
+    over-damped (lam decays only 0.5x per accept: 1e6 -> 6e4), barely
+    moves, and stays unconverged."""
+    from dataclasses import replace
+
+    from acinoset_tpu.pipeline.ekf import make_hj_parts_fn
+    from acinoset_tpu.pipeline.fte import initial_trajectory
+
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
+    hj_parts = make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr)
+    N = pixels.shape[1]
+    X0 = jnp.asarray(initial_trajectory(
+        pixels, likelihood, k_arr, d_arr, r_arr, t_arr, np.arange(N), 0.5))
+    meas = jnp.asarray(pixels.transpose(1, 0, 2, 3))
+    cfg = default_config(90.0, num_iters=40)
+    w = jnp.asarray((likelihood.transpose(1, 0, 2) > 0.5) / cfg.meas_std_px)
+    X_star, info_star = trajopt.fte_solve(h, X0, meas, w, cfg,
+                                          hj_parts_fn=hj_parts)
+    assert bool(info_star["converged"])
+
+    # small perturbation off the optimum: enough to break stationarity
+    rng = np.random.default_rng(7)
+    X_pert = X_star + jnp.asarray(
+        0.005 * rng.standard_normal(np.shape(X_star)))
+    # robust weights on from iteration 0 so the objective matches the
+    # converged solve's
+    cfg1 = replace(cfg, num_iters=4, plain_iters=0, polish_iters=4,
+                   lam_init=1e6)
+    # over-damped control: one lam=1e6 step cannot restore stationarity
+    _Xn, info_n = trajopt.fte_solve(
+        h, X_pert, meas, w, replace(cfg1, polish_iters=0),
+        hj_parts_fn=hj_parts)
+    assert not bool(info_n["converged"]), float(info_n["grad_norm"])
+    # clamped polish step: undamped exact step from the boundary
+    X_p, info_p = trajopt.fte_solve(h, X_pert, meas, w, cfg1,
+                                    hj_parts_fn=hj_parts)
+    assert bool(info_p["converged"]), float(info_p["grad_norm"])
+    assert float(info_p["cost"]) <= float(info_star["cost"]) * (1 + 1e-3)
+    # same reconstruction in marker space (pose coords may differ along
+    # floppy directions at equal cost — measured up to 0.03 here)
+    mk_p = np.asarray(jax.vmap(cheetah.fk25)(X_p))
+    mk_s = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(X_star)))
+    d = np.linalg.norm(mk_p - mk_s, axis=-1)
+    assert d.mean() < 0.02, d.mean()
+
+
+def test_fte_cov_ridge_flag(synth):
+    """The f32 posterior's stabilizing ridge shrinks near-floppy error
+    bars (~30% at the 5th pct vs f64) — users must see WHICH bars are
+    affected (VERDICT r3 item 7). The flag is measured, not modeled:
+    the covariance recurrence runs at ridge r and 2r and Richardson-
+    extrapolates each variance to r=0. On the flagship fixture almost
+    no marker cells are affected; zeroing the tail markers' weights
+    makes the tail DoFs genuinely floppy and the flag must fire there
+    (and concentrate on the tail markers)."""
+    from dataclasses import replace
+
+    from acinoset_tpu.pipeline.ekf import make_hj_parts_fn
+    from acinoset_tpu.pipeline.fte import initial_trajectory
+
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    dt = jnp.float32
+    h = make_h_fn(k_arr, d_arr, r_arr, t_arr, dt)
+    hj = make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr, dt)
+    cfg = default_config(90.0, num_iters=30)
+    N = pixels.shape[1]
+    X0 = jnp.asarray(
+        initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr,
+                           np.arange(N), 0.5), dt)
+    meas = jnp.asarray(pixels.transpose(1, 0, 2, 3), dt)
+    w = np.asarray((likelihood.transpose(1, 0, 2) > 0.5) / cfg.meas_std_px,
+                   np.float32)
+    solve = jax.jit(lambda w_: trajopt.fte_solve(
+        h, X0, meas, jnp.asarray(w_), cfg, hj_parts_fn=hj, compute_cov=True))
+
+    _X1, flagship = solve(w)
+    assert float(flagship["cov_ridge_frac"]) < 0.02, (
+        float(flagship["cov_ridge_frac"]))
+
+    w_floppy = w.copy()
+    mi = [cheetah.MARKERS.index(m) for m in ("tail1", "tail2")]
+    w_floppy[:, :, mi] = 0.0
+    _X2, floppy = solve(w_floppy)
+    frac = float(floppy["cov_ridge_frac"])
+    assert frac > 0.05, frac
+    rel = np.asarray(floppy["marker_std_ridge_shrink"])  # (N, L, 3)
+    # the shrink concentrates on the now-unobserved tail markers
+    assert rel[:, mi].max() > 0.25, rel[:, mi].max()
+    assert rel[:, mi].mean() > 5 * np.delete(rel, mi, axis=1).mean()
+    # f64 has no ridge: flag exactly zero (and no per-cell field)
+    _X3, f64info = trajopt.fte_solve(
+        make_h_fn(k_arr, d_arr, r_arr, t_arr),
+        jnp.asarray(X0, jnp.float64),
+        jnp.asarray(meas, jnp.float64),
+        jnp.asarray(w, jnp.float64), cfg,
+        hj_parts_fn=make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr),
+        compute_cov=True)
+    assert float(f64info["cov_ridge_shrink"]) == 0.0
+    assert "marker_std_ridge_shrink" not in f64info
 
 
 def test_fte_posterior_uncertainty_calibrated(synth):
