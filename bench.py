@@ -33,7 +33,10 @@ Env overrides:
                    extra field
   BENCH_UNCERTAINTY=1 — ALSO time the solve with the Laplace-posterior
                    pass (per-marker error bars) and report its overhead
-  BENCH_FLOPS=1  — report XLA cost-analysis sustained FLOP/s
+  BENCH_NO_RESCUE=1 — headline WITHOUT the rescue pass (by default the
+                   reported rate includes re-solving unconverged runs
+                   at 3x budget — what `cli sweep` actually pays)
+  BENCH_PEAK_TFLOPS — peak for the mfu_pct field (default 197, v5e bf16)
 """
 import json
 import os
@@ -59,6 +62,11 @@ def main():
 
     enable_persistent_cache()
     import jax
+
+    if os.environ.get("BENCH_CPU"):
+        # smoke-testing knob: the ambient sitecustomize force-registers
+        # the tunneled TPU (JAX_PLATFORMS is ignored — CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from acinoset_tpu.models import cheetah
@@ -187,6 +195,43 @@ def main():
     extra["n_converged"] = int(np.asarray(converged).sum())
     extra["max_grad_norm"] = round(float(np.asarray(grad_norm).max()), 4)
 
+    # ---- rescue pass: the HEADLINE prices what `cli sweep` actually
+    # runs (VERDICT r3 item 5) — runs whose stationarity flag came back
+    # unconverged re-solve once as their own batch at 3x budget, warm-
+    # started from their current solutions, and that cost is INCLUDED
+    # in the reported rate. BENCH_NO_RESCUE=1 restores the raw rate.
+    t_rescue = 0.0
+    X = np.array(X)  # writable host copies (np.asarray views are read-only)
+    conv = np.array(converged)
+    bad = np.flatnonzero(~conv)
+    if len(bad) and not os.environ.get("BENCH_NO_RESCUE"):
+        n_dev = len(mesh.devices.flatten())
+        n_pad = max(int(-(-len(bad) // n_dev)) * n_dev, n_dev)
+        idx = np.concatenate([bad, np.repeat(bad[-1:], n_pad - len(bad))])
+        cfg_r = replace(cfg, num_iters=3 * iters, plain_iters=0)
+        rsolver = mesh_lib.sharded_fte_solver(
+            mesh, h, cfg_r, hj_parts_fn=hj_parts, with_status=True
+        )
+        rX0, rmeas, rw = mesh_lib.shard_batch(
+            mesh, jnp.asarray(X[idx], dtype),
+            jnp.asarray(measb[idx], dtype), jnp.asarray(wb[idx], dtype)
+        )
+        with mesh:
+            rout = rsolver(rX0, rmeas, rw)  # compile + warmup
+            Xr, conv_r, gn_r = jax.block_until_ready(rout)
+            t_rescue = _best_time(
+                lambda: jax.block_until_ready(rsolver(rX0, rmeas, rw)), repeats
+            )
+        X[bad] = np.asarray(Xr)[: len(bad)]
+        conv[bad] = np.asarray(conv_r)[: len(bad)]
+        grad_norm = np.array(grad_norm)
+        grad_norm[bad] = np.asarray(gn_r)[: len(bad)]
+        extra["rescue_sec"] = round(t_rescue, 4)
+        extra["n_rescued"] = int(len(bad))
+        extra["n_converged"] = int(conv.sum())
+        extra["max_grad_norm"] = round(float(np.asarray(grad_norm).max()), 4)
+        extra["traj_per_sec_no_rescue"] = round(B / (best + t_ekf), 3)
+
     if os.environ.get("BENCH_UNCERTAINTY"):
         # Laplace-posterior pass overhead: same program + the banded RGF
         # marginal-covariance scan at the solution (marker_std out)
@@ -206,14 +251,23 @@ def main():
             1e3 * float(np.median(np.asarray(uout[3]))), 2
         )
 
-    if os.environ.get("BENCH_FLOPS"):
-        try:
+    # MFU / roofline position (always on, VERDICT r3 item 6): XLA cost-
+    # analysis FLOPs over measured wall. The workload is small-operand
+    # (25x25 cores) — latency/bandwidth-bound by design, so sustained
+    # FLOP/s lands ~1e-5 of the MXU peak even at 87% device-busy; see
+    # docs/roofline.md for the stage-by-stage reconciliation. Peak for
+    # MFU: v5e bf16 197 TFLOP/s (BENCH_PEAK_TFLOPS overrides for other
+    # chips; ignored on CPU where cost analysis is still reported).
+    try:
+        with mesh:
             fl = solver.lower(X0s, meass, ws).compile().cost_analysis()
-            flops = float(fl.get("flops", 0.0)) if fl else 0.0
-            extra["xla_flops_per_program"] = flops
-            extra["sustained_tflops"] = round(flops / best / 1e12, 3)
-        except Exception as e:  # cost analysis is best-effort per backend
-            extra["flops_error"] = str(e)[:120]
+        flops = float(fl.get("flops", 0.0)) if fl else 0.0
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0)) * 1e12
+        extra["xla_flops_per_program"] = flops
+        extra["sustained_tflops"] = round(flops / best / 1e12, 4)
+        extra["mfu_pct"] = round(100.0 * flops / best / peak, 4)
+    except Exception as e:  # cost analysis is best-effort per backend
+        extra["flops_error"] = str(e)[:120]
 
     # sanity: solution quality vs ground truth — the mean over the WHOLE
     # batch (a single row would under-report when some replicas are
@@ -249,7 +303,7 @@ def main():
         t_mixed = _best_time(lambda: jax.block_until_ready(msolver(*margs)), repeats)
         extra["mixed_traj_per_sec"] = round(B / (t_mixed + t_ekf), 3)
 
-    traj_per_sec = B / (best + t_ekf)
+    traj_per_sec = B / (best + t_ekf + t_rescue)
     baseline = 1.5  # north-star: 90 trajectories / 60 s
     print(
         json.dumps(
