@@ -44,28 +44,57 @@ def default_config(fps: float, num_iters: int = 60) -> trajopt.FteConfig:
     )
 
 
-def initial_trajectory(
-    pixels, likelihood, k_arr, d_arr, r_arr, t_arr, frames, dlc_thresh
-) -> np.ndarray:
-    """Linear-regression init (src/all_optimizations.py:269-277,334-337):
-    triangulated nose track -> straight-line x/y/z + initial yaw psi_0."""
-    markers = cheetah.get_markers()
-    tri_pos = triangulate_run(
-        np.nan_to_num(pixels), np.nan_to_num(likelihood, nan=-1.0) > dlc_thresh,
-        k_arr, d_arr, r_arr, t_arr,
-    )
-    nose = markers.index("nose")
+def _x0_from_tri(tri_pos: np.ndarray, frames: np.ndarray) -> np.ndarray:
+    """Nose-track linreg -> straight-line x/y/z + initial yaw (the
+    shared tail of initial_trajectory and its batched twin)."""
+    nose = cheetah.get_markers().index("nose")
     xs, xi, ys, yi, zs, zi = nose_track_linreg(tri_pos, frames, nose)
-    N = pixels.shape[1]
-    P = cheetah.N_ACTIVE
+    N = len(frames)
+    X0 = np.zeros((N, cheetah.N_ACTIVE))
     pp = cheetah.get_pose_params()
-    X0 = np.zeros((N, P))
     f = frames.astype(np.float64)
     X0[:, pp["x_0"]] = f * xs + xi
     X0[:, pp["y_0"]] = f * ys + yi
     X0[:, pp["z_0"]] = f * zs + zi
     X0[:, pp["psi_0"]] = np.arctan2(ys, xs)
     return X0
+
+
+def initial_trajectory(
+    pixels, likelihood, k_arr, d_arr, r_arr, t_arr, frames, dlc_thresh
+) -> np.ndarray:
+    """Linear-regression init (src/all_optimizations.py:269-277,334-337):
+    triangulated nose track -> straight-line x/y/z + initial yaw psi_0."""
+    tri_pos = triangulate_run(
+        np.nan_to_num(pixels), np.nan_to_num(likelihood, nan=-1.0) > dlc_thresh,
+        k_arr, d_arr, r_arr, t_arr,
+    )
+    return _x0_from_tri(tri_pos, frames)
+
+
+def initial_trajectory_batch(
+    pixels_b, likelihood_b, aux, frames, dlc_thresh
+) -> list:
+    """Batched initial_trajectory for a padded run group: ONE jitted
+    vmapped triangulation program + ONE host transfer
+    (tri.triangulate_runs_batch), then the cheap numpy linreg per run.
+    The per-run loop paid a tunnel round-trip per run on a
+    remote-attached TPU — measured 196 s for B=96/N=300 where the EKF
+    itself costs ~1 s (docs/r04/warm_n300.txt).
+
+    pixels_b: (B, C, N, L, 2); likelihood_b: (B, C, N, L);
+    aux: (K, D, R, T) stacks, each (B, C, ...); frames: (N,).
+    Returns a list of B (N, n_pose) float64 arrays, identical math to
+    per-run initial_trajectory (tests/test_sweep.py).
+    """
+    from .tri import triangulate_runs_batch
+
+    tri = triangulate_runs_batch(
+        np.nan_to_num(np.asarray(pixels_b)),
+        np.nan_to_num(np.asarray(likelihood_b), nan=-1.0) > dlc_thresh,
+        aux,
+    )
+    return [_x0_from_tri(t, frames) for t in tri]
 
 
 def fte_run(

@@ -29,7 +29,7 @@ from ..parallel import mesh as mesh_lib
 from ..solvers import trajopt
 from . import app
 from . import data as data_io
-from .fte import default_config, initial_trajectory
+from .fte import default_config, initial_trajectory_batch
 
 
 @dataclass
@@ -102,6 +102,36 @@ def _pad_run(run: RunData, N: int, C: int):
     return pix, lik, (K, D, R, T), n0
 
 
+#: per-program batch cap — the measured throughput knee (docs/
+#: scaling.jsonl: frames/s is FLAT from B=96 to 768, one batch-96
+#: program saturates the chip) AND a hard safety wall (B>=384 at
+#: N>=300 reproducibly 500s the remote TPU compiler). Groups larger
+#: than this are solved as sequential chunks of exactly this size (the
+#: final partial chunk is padded with repeated runs so every chunk
+#: reuses ONE compiled program); since throughput is flat beyond the
+#: knee, chunking costs nothing.
+MAX_PROGRAM_BATCH = 96
+
+
+def _solve_chunked(runs, max_batch, solve_chunk, X0_override=None):
+    """Split an oversized group into <=max_batch chunks and solve each
+    with ``solve_chunk(chunk_runs, chunk_X0) -> results``. The last
+    partial chunk is padded by repeating its final run (results
+    discarded) so all chunks share one compile signature."""
+    results = []
+    for i in range(0, len(runs), max_batch):
+        chunk = list(runs[i : i + max_batch])
+        Xc = (list(X0_override[i : i + max_batch])
+              if X0_override is not None else None)
+        n_real = len(chunk)
+        if n_real < max_batch and i > 0:  # pad to the compiled signature
+            chunk += [chunk[-1]] * (max_batch - n_real)
+            if Xc is not None:
+                Xc += [Xc[-1]] * (max_batch - n_real)
+        results.extend(solve_chunk(chunk, Xc)[:n_real])
+    return results
+
+
 #: in-process cache of jitted batch solvers — repeated sweep calls with
 #: the same config reuse the traced program (jit itself then caches per
 #: input shape) instead of re-tracing a fresh closure every call
@@ -129,6 +159,9 @@ def _cached_batch_solver(cfg, dtype, uncertainty=False):
                 )
                 if uncertainty:
                     status["marker_std"] = info["marker_std"]
+                    status["cov_ridge_shrink"] = info["cov_ridge_shrink"]
+                    status["cov_ridge_frac"] = info.get(
+                        "cov_ridge_frac", jnp.zeros(()))
                 return X, status
 
             return jax.vmap(one)(X0, meas, w, aux, nv)
@@ -169,8 +202,18 @@ def solve_batch(
     relinearize_every: int = 1,
     plain_iters: Optional[int] = None,
     uncertainty: bool = False,
+    max_batch: Optional[int] = MAX_PROGRAM_BATCH,
+    pad_frames: Optional[int] = None,
+    pad_cams: Optional[int] = None,
 ) -> List[Dict]:
     """Solve a group of runs (same fps) as one sharded batched program.
+
+    Groups beyond ``max_batch`` runs (default MAX_PROGRAM_BATCH — the
+    measured throughput knee and remote-compiler safety wall) solve as
+    sequential chunks padded to a shared (frames, cams, batch)
+    signature; results are identical to the unchunked solve
+    (tests/test_sweep.py). ``pad_frames``/``pad_cams`` pin the padded
+    shapes (used by the chunk recursion).
 
     ``uncertainty`` adds the Laplace-posterior pass inside the same
     jitted batch (trajopt.fte_solve compute_cov): each result dict gains
@@ -188,8 +231,20 @@ def solve_batch(
     from dataclasses import replace as dc_replace
 
     fps = runs[0].fps
-    N = max(r.pixels.shape[1] for r in runs)
-    C = max(r.pixels.shape[0] for r in runs)
+    N = pad_frames or max(r.pixels.shape[1] for r in runs)
+    C = pad_cams or max(r.pixels.shape[0] for r in runs)
+    if max_batch and len(runs) > max_batch:
+        return _solve_chunked(
+            runs, max_batch,
+            lambda chunk, Xc: solve_batch(
+                chunk, dlc_thresh, num_iters=num_iters, mesh=mesh,
+                dtype=dtype, X0_override=Xc,
+                relinearize_every=relinearize_every,
+                plain_iters=plain_iters, uncertainty=uncertainty,
+                max_batch=None, pad_frames=N, pad_cams=C,
+            ),
+            X0_override=X0_override,
+        )
     cfg = default_config(fps, num_iters=num_iters)
     if relinearize_every != 1:
         cfg = dc_replace(cfg, relinearize_every=relinearize_every)
@@ -197,27 +252,32 @@ def solve_batch(
         cfg = dc_replace(cfg, plain_iters=plain_iters)
 
     pix_b, lik_b, cams_b, n_valid = [], [], [], []
-    X0_b = []
-    for i, run in enumerate(runs):
+    for run in runs:
         pix, lik, cams, n0 = _pad_run(run, N, C)
+        pix_b.append(pix)
+        lik_b.append(lik)
+        cams_b.append(cams)
+        n_valid.append(n0)
+    aux = tuple(np.stack([c[j] for c in cams_b]) for j in range(4))  # each (B, C, ...)
+
+    X0_b = []
+    if X0_override is None:
+        # initialize the whole group in ONE batched device program on
+        # the shared PADDED shapes (a per-run initial_trajectory loop
+        # pays one tunnel round-trip per run on a remote-attached TPU —
+        # measured 2 s/run at N=300, docs/r04/warm_n300.txt)
+        X0_cold = initial_trajectory_batch(
+            np.stack(pix_b), np.stack(lik_b), aux, np.arange(N), dlc_thresh
+        )
+    for i, n0 in enumerate(n_valid):
         if X0_override is not None:
             Xw = np.asarray(X0_override[i], np.float64)
             X0 = np.zeros((N, Xw.shape[1]))
             X0[: len(Xw)] = Xw
             X0[len(Xw):] = Xw[-1]  # hold the last frame through padding
         else:
-            # initialize on the PADDED shapes so all runs share one
-            # compiled triangulation program (per-run shapes would
-            # recompile per N)
-            X0 = initial_trajectory(
-                pix, lik, cams[0], cams[1], cams[2], cams[3],
-                np.arange(N), dlc_thresh,
-            )
+            X0 = X0_cold[i]
             X0[n0:] = X0[n0 - 1]  # hold the last valid frame through padding
-        pix_b.append(pix)
-        lik_b.append(lik)
-        cams_b.append(cams)
-        n_valid.append(n0)
         X0_b.append(X0)
 
     B = len(runs)
@@ -227,7 +287,6 @@ def solve_batch(
     # zero weight on padded frames
     for i, n0 in enumerate(n_valid):
         w[i, n0:] = 0.0
-    aux = tuple(np.stack([c[j] for c in cams_b]) for j in range(4))  # each (B, C, ...)
 
     mesh = mesh or mesh_lib.make_mesh(model_axis=False)
 
@@ -285,7 +344,9 @@ def solve_batch(
                 cost0=float(status["cost0"][i]),
                 converged=bool(status["converged"][i]),
                 grad_norm=float(status["grad_norm"][i]),
-                **({"marker_std": status["marker_std"][i, :n0].astype(np.float64)}
+                **({"marker_std": status["marker_std"][i, :n0].astype(np.float64),
+                    "cov_ridge_shrink": float(status["cov_ridge_shrink"][i]),
+                    "cov_ridge_frac": float(status["cov_ridge_frac"][i])}
                    if uncertainty else {}),
             )
         )
@@ -345,8 +406,15 @@ def _rescue_unconverged(results, label, num_iters, resolve):
         return results
     print(f"rescue: {len(bad)} unconverged {label}runs re-solved at "
           f"{3 * num_iters} iterations")
-    rr = resolve(bad, [results[i]["x"] for i in bad], 3 * num_iters)
-    for i, res in zip(bad, rr):
+    # pad the rescue batch to the next power of two (results of the
+    # repeated rows discarded): every distinct batch size is a fresh
+    # 3x-budget XLA compile — minutes each through the remote tunnel —
+    # so bucket the signatures instead of compiling one per failure
+    # count
+    n_pad = 1 << (len(bad) - 1).bit_length()
+    bad_p = bad + [bad[-1]] * (n_pad - len(bad))
+    rr = resolve(bad_p, [results[i]["x"] for i in bad_p], 3 * num_iters)
+    for i, res in zip(bad, rr[: len(bad)]):
         results[i] = res
     return results
 
@@ -377,6 +445,9 @@ def _cached_batch_solver_generic(model, cfg, dtype, uncertainty=False):
                 )
                 if uncertainty:
                     status["marker_std"] = info["marker_std"]
+                    status["cov_ridge_shrink"] = info["cov_ridge_shrink"]
+                    status["cov_ridge_frac"] = info.get(
+                        "cov_ridge_frac", jnp.zeros(()))
                 return X, status
 
             return jax.vmap(one)(X0, meas, w, aux, nv)
@@ -402,6 +473,9 @@ def solve_batch_generic(
     plain_iters: Optional[int] = None,
     warm_start="auto",
     relinearize_every: int = 1,
+    max_batch: Optional[int] = MAX_PROGRAM_BATCH,
+    pad_frames: Optional[int] = None,
+    pad_cams: Optional[int] = None,
 ) -> List[Dict]:
     """Batched generic-skeleton FTE — the src/build.py path at sweep
     scale: N runs of any subject (humans, new animals) solve as ONE
@@ -414,22 +488,39 @@ def solve_batch_generic(
     once as their own batch at 3x the budget from their current
     solution (robust weights on from iteration 0). ``warm_start``
     mirrors it too: the batched generic EKF's smoothed poses replace
-    the TRI+linreg cold init ("auto": only for groups longer than
-    AUTO_WARM_N frames, where the cold init measurably diverges).
+    the TRI+linreg cold init when forced with True ("auto" = cold — the
+    EKF init measurably lands the GN in a worse basin, see AUTO_WARM_N).
     """
     from ..models.skeleton import SkeletonModel  # noqa: F401 (doc type)
     from .ekf import nose_track_linreg
     from .generic import generic_config
-    from .tri import triangulate_run
+    from .tri import triangulate_runs_batch
 
     fps = runs[0].fps
-    N = max(r.pixels.shape[1] for r in runs)
-    C = max(r.pixels.shape[0] for r in runs)
+    N = pad_frames or max(r.pixels.shape[1] for r in runs)
+    C = pad_cams or max(r.pixels.shape[0] for r in runs)
+    if max_batch and len(runs) > max_batch:
+        # chunk BEFORE the warm-start EKF so that stage's program is
+        # bounded at the knee too (see MAX_PROGRAM_BATCH)
+        return _solve_chunked(
+            runs, max_batch,
+            lambda chunk, Xc: solve_batch_generic(
+                model, chunk, dlc_thresh, num_iters=num_iters, mesh=mesh,
+                dtype=dtype, init_marker=init_marker,
+                huber_delta=huber_delta, exclude_markers=exclude_markers,
+                X0_override=Xc, uncertainty=uncertainty, rescue=rescue,
+                plain_iters=plain_iters, warm_start=warm_start,
+                relinearize_every=relinearize_every,
+                max_batch=None, pad_frames=N, pad_cams=C,
+            ),
+            X0_override=X0_override,
+        )
     cfg = generic_config(model, fps, num_iters=num_iters, huber_delta=huber_delta)
-    warm = (N > AUTO_WARM_N) if warm_start == "auto" else bool(warm_start)
+    warm = False if warm_start == "auto" else bool(warm_start)  # see AUTO_WARM_N
     if X0_override is None and warm:
         ekf_results = solve_batch_ekf_generic(
             model, runs, dlc_thresh, dtype=dtype, init_marker=init_marker,
+            pad_frames=N, pad_cams=C,
         )
         X0_override = ekf_warm_starts(ekf_results)
         if plain_iters is None:
@@ -444,29 +535,37 @@ def solve_batch_generic(
             cfg = _replace(cfg, relinearize_every=relinearize_every)
 
     pix_b, lik_b, cams_b, n_valid, X0_b = [], [], [], [], []
-    for i, run in enumerate(runs):
+    for run in runs:
         pix, lik, cams, n0 = _pad_run(run, N, C)
-        if X0_override is not None:
-            Xw = np.asarray(X0_override[i], np.float64)
-            X0 = np.zeros((N, model.n_pose))
-            X0[: len(Xw)] = Xw
-            X0[len(Xw):] = Xw[-1]
-        else:
-            # init from the triangulated init_marker track (build.py:151-165)
-            valid = np.nan_to_num(lik, nan=-1.0) > dlc_thresh
-            tri_pos = triangulate_run(np.nan_to_num(pix), valid, *cams)
-            mi = model.markers.index(init_marker)
-            xs, xi, ys, yi, zs, zi = nose_track_linreg(tri_pos, np.arange(N), mi)
-            X0 = np.zeros((N, model.n_pose))
-            f = np.arange(N, dtype=np.float64)
-            X0[:, 0] = f * xs + xi
-            X0[:, 1] = f * ys + yi
-            X0[:, 2] = f * zs + zi
         pix_b.append(pix)
         lik_b.append(lik)
         cams_b.append(cams)
         n_valid.append(n0)
-        X0_b.append(X0)
+    if X0_override is not None:
+        for i in range(len(runs)):
+            Xw = np.asarray(X0_override[i], np.float64)
+            X0 = np.zeros((N, model.n_pose))
+            X0[: len(Xw)] = Xw
+            X0[len(Xw):] = Xw[-1]
+            X0_b.append(X0)
+    else:
+        # init from the triangulated init_marker track (build.py:151-165)
+        # — whole group in ONE batched device program (a per-run loop
+        # pays a tunnel round-trip per run, see triangulate_runs_batch)
+        tri_b = triangulate_runs_batch(
+            np.nan_to_num(np.stack(pix_b)),
+            np.nan_to_num(np.stack(lik_b), nan=-1.0) > dlc_thresh,
+            tuple(np.stack([c[j] for c in cams_b]) for j in range(4)),
+        )
+        mi = model.markers.index(init_marker)
+        f = np.arange(N, dtype=np.float64)
+        for tri_pos in tri_b:
+            xs, xi, ys, yi, zs, zi = nose_track_linreg(tri_pos, np.arange(N), mi)
+            X0 = np.zeros((N, model.n_pose))
+            X0[:, 0] = f * xs + xi
+            X0[:, 1] = f * ys + yi
+            X0[:, 2] = f * zs + zi
+            X0_b.append(X0)
 
     meas = np.stack(pix_b).transpose(0, 2, 1, 3, 4)  # (B, N, C, L, 2)
     lik = np.stack(lik_b).transpose(0, 2, 1, 3)
@@ -528,7 +627,9 @@ def solve_batch_generic(
                 cost0=float(status["cost0"][i]),
                 converged=bool(status["converged"][i]),
                 grad_norm=float(status["grad_norm"][i]),
-                **({"marker_std": status["marker_std"][i, :n0].astype(np.float64)}
+                **({"marker_std": status["marker_std"][i, :n0].astype(np.float64),
+                    "cov_ridge_shrink": float(status["cov_ridge_shrink"][i]),
+                    "cov_ridge_frac": float(status["cov_ridge_frac"][i])}
                    if uncertainty else {}),
             )
         )
@@ -598,15 +699,27 @@ def solve_batch_ekf(
     dlc_thresh: float,
     dtype=jnp.float32,
     mesh=None,
+    max_batch: Optional[int] = MAX_PROGRAM_BATCH,
+    pad_frames: Optional[int] = None,
+    pad_cams: Optional[int] = None,
 ) -> List[Dict]:
     """Batched EKF+RTS across runs (same padding scheme as the FTE batch;
     per-run rigs ride along as vmapped camera params; runs sharded over
-    the mesh's 'data' axis like the FTE batch)."""
+    the mesh's 'data' axis like the FTE batch). Groups beyond
+    ``max_batch`` chunk at the knee like solve_batch."""
     from ..solvers import ekf as ekf_solver
 
     fps = runs[0].fps
-    N = max(r.pixels.shape[1] for r in runs)
-    C = max(r.pixels.shape[0] for r in runs)
+    N = pad_frames or max(r.pixels.shape[1] for r in runs)
+    C = pad_cams or max(r.pixels.shape[0] for r in runs)
+    if max_batch and len(runs) > max_batch:
+        return _solve_chunked(
+            runs, max_batch,
+            lambda chunk, _Xc: solve_batch_ekf(
+                chunk, dlc_thresh, dtype=dtype, mesh=mesh,
+                max_batch=None, pad_frames=N, pad_cams=C,
+            ),
+        )
     n_pose = cheetah.N_ACTIVE
 
     # untrusted-measurement sigma = each run's own camera width
@@ -624,25 +737,31 @@ def solve_batch_ekf(
         np.ones(3) * 9.0, np.concatenate([p_ang[:10] * 9.0, p_ang[10:] * 25.0]),
     ]))
 
-    pix_b, lik_b, aux_b, x0_b, n_valid = [], [], [], [], []
+    pix_b, lik_b, aux_b, n_valid = [], [], [], []
+    pix_cn = []  # (C, N, ...) layout for the batched init
     for run in runs:
         pix, lik, cams, n0 = _pad_run(run, N, C)
         pix_b.append(pix.transpose(1, 0, 2, 3))
         lik_b.append(lik.transpose(1, 0, 2))
+        pix_cn.append((pix, lik))
         aux_b.append(cams)
         n_valid.append(n0)
-        # initialize on the padded shapes (one shared compile across runs)
-        X0 = initial_trajectory(
-            pix, lik, cams[0], cams[1], cams[2], cams[3],
-            np.arange(N), dlc_thresh,
-        )
+
+    aux = tuple(np.stack([c[j] for c in aux_b]) for j in range(4))
+    # initialize the whole group in ONE batched device program (the
+    # per-run loop paid a tunnel round-trip per run: 196 s at B=96/
+    # N=300 where the filter itself costs ~1 s, docs/r04/warm_n300.txt)
+    X0_cold = initial_trajectory_batch(
+        np.stack([p for p, _ in pix_cn]), np.stack([l for _, l in pix_cn]),
+        aux, np.arange(N), dlc_thresh,
+    )
+    x0_b = []
+    for X0 in X0_cold:
         x0 = np.zeros(3 * n_pose)
         x0[:n_pose] = X0[0]
         if len(X0) > 1:  # forward velocity from the straight-line init
             x0[n_pose : n_pose + 3] = (X0[1, :3] - X0[0, :3]) * fps
         x0_b.append(x0)
-
-    aux = tuple(np.stack([c[j] for c in aux_b]) for j in range(4))
 
     mesh = mesh or mesh_lib.make_mesh(model_axis=False)
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -739,6 +858,9 @@ def solve_batch_ekf_generic(
     pos_process_std: float = 5.0,
     ang_process_std: float = 25.0,
     mesh=None,
+    max_batch: Optional[int] = MAX_PROGRAM_BATCH,
+    pad_frames: Optional[int] = None,
+    pad_cams: Optional[int] = None,
 ) -> List[Dict]:
     """Batched EKF+RTS for arbitrary skeletons — capability beyond the
     reference (src/build.py has no EKF stage; src/all_optimizations.py
@@ -749,11 +871,22 @@ def solve_batch_ekf_generic(
     qb table) since generic skeletons carry no tuned table."""
     from ..solvers import ekf as ekf_solver
     from .ekf import nose_track_linreg
-    from .tri import triangulate_run
+    from .tri import triangulate_runs_batch
 
     fps = runs[0].fps
-    N = max(r.pixels.shape[1] for r in runs)
-    C = max(r.pixels.shape[0] for r in runs)
+    N = pad_frames or max(r.pixels.shape[1] for r in runs)
+    C = pad_cams or max(r.pixels.shape[0] for r in runs)
+    if max_batch and len(runs) > max_batch:
+        return _solve_chunked(
+            runs, max_batch,
+            lambda chunk, _Xc: solve_batch_ekf_generic(
+                model, chunk, dlc_thresh, dtype=dtype,
+                init_marker=init_marker, meas_std_px=meas_std_px,
+                pos_process_std=pos_process_std,
+                ang_process_std=ang_process_std, mesh=mesh,
+                max_batch=None, pad_frames=N, pad_cams=C,
+            ),
+        )
     n_pose = model.n_pose
 
     cfg = ekf_solver.EkfConfig(
@@ -770,24 +903,33 @@ def solve_batch_ekf_generic(
         np.ones(3) * 9.0, p_ang * 25.0,              # acceleration
     ]))
 
-    pix_b, lik_b, aux_b, x0_b, n_valid = [], [], [], [], []
+    pix_b, lik_b, aux_b, n_valid = [], [], [], []
+    pix_cn, lik_cn = [], []  # (C, N, ...) layout for the batched init
     mi = model.markers.index(init_marker)
     for run in runs:
         pix, lik, cams, n0 = _pad_run(run, N, C)
         pix_b.append(pix.transpose(1, 0, 2, 3))
         lik_b.append(lik.transpose(1, 0, 2))
+        pix_cn.append(pix)
+        lik_cn.append(lik)
         aux_b.append(cams)
         n_valid.append(n0)
-        # init_marker linreg track (the generic FTE's own init)
-        valid = np.nan_to_num(lik, nan=-1.0) > dlc_thresh
-        tri_pos = triangulate_run(np.nan_to_num(pix), valid, *cams)
+
+    aux = tuple(np.stack([c[j] for c in aux_b]) for j in range(4))
+    # init_marker linreg track (the generic FTE's own init) — whole
+    # group triangulated in ONE batched device program
+    tri_b = triangulate_runs_batch(
+        np.nan_to_num(np.stack(pix_cn)),
+        np.nan_to_num(np.stack(lik_cn), nan=-1.0) > dlc_thresh,
+        aux,
+    )
+    x0_b = []
+    for tri_pos in tri_b:
         xs, xi, ys, yi, zs, zi = nose_track_linreg(tri_pos, np.arange(N), mi)
         x0 = np.zeros(3 * n_pose)
         x0[:3] = (xi, yi, zi)
         x0[n_pose : n_pose + 3] = np.asarray((xs, ys, zs)) * fps
         x0_b.append(x0)
-
-    aux = tuple(np.stack([c[j] for c in aux_b]) for j in range(4))
 
     mesh = mesh or mesh_lib.make_mesh(model_axis=False)
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -828,11 +970,20 @@ def solve_batch_ekf_generic(
     return results
 
 
-#: frame count above which the straight-line TRI+linreg init measurably
-#: stops converging in a standard iteration budget (docs/scaling.jsonl:
-#: N=300 cold lands at 0.1 m, N=600 diverges entirely) — warm_start
-#: "auto" switches the EKF init on for groups longer than this
-AUTO_WARM_N = 150
+#: Round-3 believed the cold TRI+linreg init diverged beyond this frame
+#: count and auto-enabled the EKF warm start there — but that entire
+#: conclusion was measured on a BROKEN fixture (the synthetic gallop ran
+#: out of the camera ring beyond ~N=130; utils/synthetic.cheetah_gallop).
+#: Re-measured on the fixed fixture (r4): cold at N=300 converges to
+#: 6.8 mm (gn 0.006) while the EKF-warm solve lands in a WORSE basin it
+#: cannot leave even at 3x budget (cost 54k vs cold 20k; the EKF output
+#: carries ~1e9 of third-difference cost, the early violent smoothing
+#: wrecks the measurement fit, and the redescending loss then disowns
+#: the data). warm_start="auto" therefore resolves to the cold init at
+#: EVERY horizon; pass warm_start=True only to force the EKF init
+#: explicitly (e.g. panning rigs where a straight-line track fit is
+#: meaningless).
+AUTO_WARM_N = None
 
 
 def sweep(
@@ -852,13 +1003,16 @@ def sweep(
     each group as one sharded program per requested stage ('fte' and/or
     'ekf'), writes per-run pickles.
 
-    ``warm_start`` initializes the FTE from the batched EKF stage's
+    ``warm_start=True`` initializes the FTE from the batched EKF stage's
     smoothed poses (the reference's own tri→sba→ekf→fte stage order,
     src/all_optimizations.py:950-983) instead of the TRI+linreg cold
-    start — the EKF runs regardless of whether 'ekf' is in ``stages``.
-    Default "auto": on only for groups longer than AUTO_WARM_N frames,
-    where the cold init measurably diverges; the EKF's cost only pays
-    for itself there (scripts/warm_start_study.py, docs/scaling.jsonl).
+    start — the EKF then runs regardless of whether 'ekf' is in
+    ``stages``. Default "auto" = cold at every horizon: on the repaired
+    long-horizon fixture the cold init converges (N=300: 6.8 mm,
+    gn 0.006) while the EKF init's ~1e9 third-difference cost drives
+    the GN into a worse basin it cannot leave even at 3x budget (see
+    AUTO_WARM_N). Use True only when a straight-line track fit is
+    meaningless (e.g. panning rigs).
 
     ``rescue``: runs whose stationarity flag comes back unconverged are
     re-solved once as their own batch at 3x the iteration budget, warm-
@@ -878,7 +1032,7 @@ def sweep(
     all_results = []
     for fps, group in groups.items():
         group_n = max(r.pixels.shape[1] for r in group)
-        warm = (group_n > AUTO_WARM_N) if warm_start == "auto" else bool(warm_start)
+        warm = False if warm_start == "auto" else bool(warm_start)  # see AUTO_WARM_N
         ekf_results = None
         if "ekf" in stages or (warm and "fte" in stages):
             print(f"EKF: {len(group)} runs @ {fps} fps as one batch")
@@ -929,6 +1083,10 @@ def sweep(
                             cost=res["cost"], cost0=res["cost0"],
                             converged=res["converged"],
                             grad_norm=res["grad_norm"],
+                            **({"marker_std": res["marker_std"],
+                                "cov_ridge_shrink": res["cov_ridge_shrink"],
+                                "cov_ridge_frac": res["cov_ridge_frac"]}
+                               if uncertainty else {}),
                         ),
                     )
     return all_results
@@ -979,7 +1137,7 @@ def sweep_generic(
         # one EKF solve per group, shared by the ekf-stage output AND the
         # FTE warm start (mirrors the cheetah sweep's stage order)
         group_n = max(r.pixels.shape[1] for r in group)
-        warm = (group_n > AUTO_WARM_N) if warm_start == "auto" else bool(warm_start)
+        warm = False if warm_start == "auto" else bool(warm_start)  # see AUTO_WARM_N
         ekf_results = None
         if "ekf" in stages or (warm and "fte" in stages):
             print(f"generic EKF: {len(group)} runs @ {fps} fps as one batch")
@@ -1019,6 +1177,9 @@ def sweep_generic(
                     scene_fpath=res["scene_fpath"],
                     cost=res["cost"], cost0=res["cost0"],
                     converged=res["converged"], grad_norm=res["grad_norm"],
-                    **({"marker_std": res["marker_std"]} if uncertainty else {}),
+                    **({"marker_std": res["marker_std"],
+                        "cov_ridge_shrink": res["cov_ridge_shrink"],
+                        "cov_ridge_frac": res["cov_ridge_frac"]}
+                       if uncertainty else {}),
                 ))
     return all_results

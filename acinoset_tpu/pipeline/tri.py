@@ -50,6 +50,35 @@ def triangulate_run(
     return np.asarray(pts3d)
 
 
+_TRI_BATCH_JIT = None
+
+
+def triangulate_runs_batch(
+    pixels_b: np.ndarray,  # (B, C, N, L, 2)
+    valid_b: np.ndarray,  # (B, C, N, L) bool
+    aux,  # (K, D, R, T) stacks, each (B, C, ...)
+) -> np.ndarray:
+    """(B, N, L, 3) pair-averaged positions for a padded run group in
+    ONE jitted vmapped program + ONE host transfer. The per-run
+    triangulate_run loop pays a tunnel round-trip per run on a
+    remote-attached TPU — measured ~2 s/run at N=300
+    (docs/r04/warm_n300.txt) where the whole batched program costs
+    milliseconds."""
+    global _TRI_BATCH_JIT
+    if _TRI_BATCH_JIT is None:
+        _TRI_BATCH_JIT = jax.jit(jax.vmap(
+            lambda p, v, k, d, r, t: cam_ops.triangulate_pairwise_mean(
+                p, v, k, d, r, t)[0]
+        ))
+    K, D, R, T = (np.asarray(a) for a in aux)
+    B, C = K.shape[:2]
+    return np.asarray(_TRI_BATCH_JIT(
+        jnp.asarray(pixels_b), jnp.asarray(valid_b),
+        jnp.asarray(K), jnp.asarray(D.reshape(B, C, -1)[..., :4]),
+        jnp.asarray(R), jnp.asarray(T.reshape(B, C, 3)),
+    ))
+
+
 def get_pairwise_3d_points_from_df(
     points_2d_df, k_arr, d_arr, r_arr, t_arr, triangulate_func=None
 ):

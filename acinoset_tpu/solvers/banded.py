@@ -255,6 +255,66 @@ def _chol_inv_unrolled(A):
     return L, Linv
 
 
+def _chol_inv_blocked3(A, p: int):
+    """Cholesky factor + inverse of a batched (..., 3p, 3p) SPD matrix
+    via a 3x3 grid of (p, p) blocks.
+
+    The column-unrolled `_chol_inv_unrolled` is fine for small matrices
+    inside scans, but on a LARGE batch of 3p-sized matrices its 2*(3p)
+    per-column `.at[].set()` updates each rewrite the whole (..., 3p,
+    3p) buffer — measured 174 ms of scatter (49% of the EKF program's
+    device time) for the RTS smoother's (96*99, 75, 75) batch
+    (docs/trace_ekf). The blocked form does the off-diagonal work as
+    nine batched (p, p) matmuls and confines the column-unrolled part
+    to three (..., p, p) diagonal factorizations — ~10x less HBM
+    traffic at equal math.
+    """
+    p1, p2 = p, 2 * p
+
+    def blk(i, j):
+        return A[..., i * p : (i + 1) * p, j * p : (j + 1) * p]
+
+    L11, L11i = _chol_inv_unrolled(blk(0, 0))
+    L11iT = jnp.swapaxes(L11i, -1, -2)
+    L21 = blk(1, 0) @ L11iT
+    L31 = blk(2, 0) @ L11iT
+    S22 = blk(1, 1) - L21 @ jnp.swapaxes(L21, -1, -2)
+    L22, L22i = _chol_inv_unrolled(S22)
+    L32 = (blk(2, 1) - L31 @ jnp.swapaxes(L21, -1, -2)) @ jnp.swapaxes(
+        L22i, -1, -2
+    )
+    S33 = (
+        blk(2, 2)
+        - L31 @ jnp.swapaxes(L31, -1, -2)
+        - L32 @ jnp.swapaxes(L32, -1, -2)
+    )
+    L33, L33i = _chol_inv_unrolled(S33)
+
+    # block lower-triangular inverse
+    Li21 = -L22i @ L21 @ L11i
+    Li32 = -L33i @ L32 @ L22i
+    Li31 = -L33i @ (L31 @ L11i + L32 @ Li21)
+
+    z = jnp.zeros_like(L11)
+    L = jnp.concatenate(
+        [
+            jnp.concatenate([L11, z, z], -1),
+            jnp.concatenate([L21, L22, z], -1),
+            jnp.concatenate([L31, L32, L33], -1),
+        ],
+        -2,
+    )
+    Linv = jnp.concatenate(
+        [
+            jnp.concatenate([L11i, z, z], -1),
+            jnp.concatenate([Li21, L22i, z], -1),
+            jnp.concatenate([Li31, Li32, L33i], -1),
+        ],
+        -2,
+    )
+    return L, Linv
+
+
 @f32_matmuls
 def block_banded_solve_unrolled(bands: Sequence[jnp.ndarray], b: jnp.ndarray) -> jnp.ndarray:
     """Factor + solve the bandwidth-3 system using unrolled small-matrix

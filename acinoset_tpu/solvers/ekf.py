@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .banded import _chol_inv_unrolled
+from .banded import _chol_inv_blocked3, _chol_inv_unrolled
 from ..utils.precision import f32_matmuls
 
 
@@ -229,10 +229,12 @@ def run_ekf(
 
     # RTS smoother (:839-845): the backward recursion
     #   xs_n = c_n + A_n xs_{n+1},  Ps_n = D_n + A_n Ps_{n+1} A_n^T
-    # with all smoother gains A_n from ONE batched trace-time-unrolled
-    # Cholesky inverse (native linalg kernels are slow sequential loops
-    # on TPU; see CLAUDE.md perf rules).
-    _Lc, Linv = _chol_inv_unrolled(P_pred_next)
+    # with all smoother gains A_n from ONE batched BLOCKED Cholesky
+    # inverse (native linalg kernels are slow sequential loops on TPU;
+    # the column-unrolled form's full-matrix scatters were 49% of the
+    # EKF program's device time at this batch size — see
+    # _chol_inv_blocked3).
+    _Lc, Linv = _chol_inv_blocked3(P_pred_next, n_pose)
     P_pred_inv = jnp.swapaxes(Linv, -1, -2) @ Linv
     A = P_est_h[:-1] @ F.T @ P_pred_inv  # smoother gains, all n at once
     c = x_est_h[:-1] - jnp.einsum("nij,nj->ni", A, x_pred_next)

@@ -1,25 +1,28 @@
 #!/usr/bin/env python
-"""Warm-start long-horizon scaling rows ON DEVICE (VERDICT r3 item 2).
+"""Long-horizon scaling rows ON DEVICE (VERDICT r3 item 2).
 
-Round 3 recorded only COLD long-horizon rows (docs/scaling.jsonl:
-0.10-0.18 m at N=300, 70 m diverged at N=600) — measured on a broken
-fixture (the 8 m/s synthetic gallop left the 12 m camera ring at
-N>=300; utils/synthetic.cheetah_gallop now caps travel to the ring).
-The sweep path never runs cold there: EKF warm start auto-enables at
-N > AUTO_WARM_N = 150. This script measures EXACTLY what `cli sweep`
-executes at long horizons — solve_batch_ekf -> ekf_warm_starts ->
-solve_batch(plain_iters=4) -> rescue of unconverged runs — with every
-stage's device+host cost included in the reported rate, and appends
-rows (mode="warm_sweep") to docs/scaling.jsonl.
+Round 3 recorded long-horizon rows on a BROKEN fixture (the 8 m/s
+synthetic gallop left the 12 m camera ring at N>=300;
+utils/synthetic.cheetah_gallop now caps travel to the ring) and
+concluded the cold init diverges there. Re-measured on the repaired
+fixture, the conclusion INVERTED: cold converges (N=300: 6.8 mm,
+gn 0.006 on CPU f64) while the EKF warm init's ~1e9 third-difference
+cost drives the GN into a worse basin (0.04-0.065 m, unconverged even
+at 3x budget) — so the production sweep path is now cold at every
+horizon (pipeline/sweep.AUTO_WARM_N) and this script measures exactly
+that: solve_batch (batched TRI+linreg init) -> rescue of unconverged
+runs, every stage's device+host cost in the reported rate, appended as
+mode="cold_sweep" rows to docs/scaling.jsonl. WARM_START=1 measures
+the explicit EKF-init path for comparison (mode="warm_sweep").
 
 Each run is a DISTINCT measurement render (per-run noise/outlier seed)
 of the shared gallop trajectory, so the rescue pass and convergence
 stats are meaningful rather than 96 copies of one problem.
 
-Env: WARM_B (96), WARM_NS (300,600), WARM_ITERS (sweep default 60 is
-the budget; the warm path spends ~14 effective), WARM_REPEATS (2),
-WARM_PLAIN (sweep's warm plain_iters, default 4), WARM_DEBUG=1 (print
-EKF-stage marker error, grad-norm percentiles, worst runs).
+Env: WARM_B (96), WARM_NS (300,600), WARM_ITERS (60), WARM_REPEATS (2),
+WARM_START=1 (EKF init instead of cold), WARM_PLAIN (plain_iters for
+the warm path, default 4), WARM_DEBUG=1 (print EKF-stage marker error,
+grad-norm percentiles, worst runs).
 """
 import json
 import os
@@ -45,7 +48,8 @@ def main():
     Ns = [int(x) for x in os.environ.get("WARM_NS", "300,600").split(",")]
     num_iters = int(os.environ.get("WARM_ITERS", 60))
     repeats = int(os.environ.get("WARM_REPEATS", 2))
-    plain_iters = int(os.environ.get("WARM_PLAIN", 4))
+    warm = bool(int(os.environ.get("WARM_START", 0)))
+    plain_iters = int(os.environ.get("WARM_PLAIN", 4)) if warm else None
     debug = bool(os.environ.get("WARM_DEBUG"))
     fps = 90.0
 
@@ -73,10 +77,12 @@ def main():
             ))
 
         def one_pass():
-            t0 = time.perf_counter()
-            ekf_results = sweep_lib.solve_batch_ekf(runs, 0.5)
-            t_ekf = time.perf_counter() - t0
-            X0s = sweep_lib.ekf_warm_starts(ekf_results)
+            ekf_results, t_ekf, X0s = [], 0.0, None
+            if warm:
+                t0 = time.perf_counter()
+                ekf_results = sweep_lib.solve_batch_ekf(runs, 0.5)
+                t_ekf = time.perf_counter() - t0
+                X0s = sweep_lib.ekf_warm_starts(ekf_results)
             t0 = time.perf_counter()
             results = sweep_lib.solve_batch(
                 runs, 0.5, num_iters=num_iters, X0_override=X0s,
@@ -112,7 +118,7 @@ def main():
         if debug:
             ekf_errs = [float(np.nanmean(np.linalg.norm(
                 np.asarray(r["positions"]) - pts3d, axis=-1)))
-                for r in ekf_results]
+                for r in ekf_results] or [float("nan")]
             gns = np.asarray([r["grad_norm"] for r in results])
             print(json.dumps(dict(
                 debug=True, N=N,
@@ -126,7 +132,8 @@ def main():
                        for i in np.argsort(errs)[-5:]],
             )), flush=True)
         row = dict(
-            mode="warm_sweep", B=B, N=N, iters=num_iters,
+            mode=("warm_sweep" if warm else "cold_sweep"), B=B, N=N,
+            iters=num_iters,
             plain_iters=plain_iters,
             ekf_sec=round(t_ekf, 3), fte_sec=round(t_fte, 3),
             rescue_sec=round(t_rescue, 3),

@@ -194,3 +194,22 @@ def test_banded_marginal_covariance_matches_dense(rng):
     for n in range(N):
         ref = Zd[n * P:(n + 1) * P, n * P:(n + 1) * P]
         np.testing.assert_allclose(Z[n], ref, rtol=1e-5, atol=1e-7 * np.abs(Zd).max())
+
+
+def test_chol_inv_blocked3_matches_unrolled(rng):
+    """The blocked 3x3(p) Cholesky+inverse (the RTS smoother's batched
+    form — the column-unrolled form's full-matrix scatters were 49% of
+    the EKF program's device time, docs/trace_ekf) must equal the
+    column-unrolled factorization to float noise."""
+    from acinoset_tpu.solvers.banded import (_chol_inv_blocked3,
+                                             _chol_inv_unrolled)
+
+    p = 5
+    M = rng.standard_normal((4, 3 * p, 3 * p))
+    A = jnp.asarray(M @ M.transpose(0, 2, 1) + 3 * p * np.eye(3 * p))
+    L1, Li1 = _chol_inv_unrolled(A)
+    L2, Li2 = _chol_inv_blocked3(A, p)
+    np.testing.assert_allclose(np.asarray(L2), np.asarray(L1),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Li2), np.asarray(Li1),
+                               rtol=1e-10, atol=1e-12)

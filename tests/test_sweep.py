@@ -84,10 +84,11 @@ def test_sweep_warm_start_matches_cold(dataset_root):
     """EKF-warm-started FTE: at an equal iteration budget the smoothed
     EKF init must land on the same solutions as the cold TRI+linreg
     start (the init is valid, never corrupting), with per-run solver
-    status surfaced. (The warm start's *iteration-cutting* value shows
-    at N>=300 where the cold init diverges — docs/scaling.jsonl; at
-    these short runs the measured plain_iters=5 schedule already
-    converges cold, so equality, not speedup, is the contract here.)"""
+    status surfaced. (At long horizons the warm init is measurably
+    HARMFUL — see test_sweep_auto_warm_start_resolves_cold — so
+    equality on short well-behaved runs, not speedup, is the whole
+    contract: forcing warm_start=True must never corrupt a solve that
+    works cold.)"""
     root, gts, _widths = dataset_root
     cold = sweep.sweep(root, dlc_thresh=0.5, num_iters=40, save=False)
     warm = sweep.sweep(root, dlc_thresh=0.5, num_iters=40, save=False,
@@ -106,6 +107,133 @@ def test_sweep_warm_start_matches_cold(dataset_root):
         d = np.linalg.norm(res["positions"] - by_dir[res["data_dir"]]["positions"],
                            axis=-1)
         assert np.nanmean(d) < 0.01, (res["data_dir"], np.nanmean(d))
+
+
+def _cheetah_batch_runs(n_runs, N=16, n_cams=2, fps=90.0, seed=0):
+    """Many small synthetic cheetah runs sharing one rig — the oversized-
+    group harness for the chunked-batch tests."""
+    cams = synthetic.ring_cameras(n_cams=n_cams)
+    k, d, r, t, res = cams
+    rng = np.random.default_rng(seed)
+    runs = []
+    for ri in range(n_runs):
+        X = synthetic.cheetah_gallop(N=N, fps=fps)
+        pixels, likelihood, _pts = synthetic.render_measurements(
+            X, cams, noise_px=1.0, outlier_frac=0.0, bad_lik_frac=0.0,
+            seed=int(rng.integers(1 << 30)),
+        )
+        runs.append(sweep.RunData(
+            data_dir=f"chunk_run_{ri}", pixels=pixels, likelihood=likelihood,
+            cams=(k, d.reshape(-1, 4), r, np.asarray(t).reshape(-1, 3)),
+            fps=fps, start_frame=0, scene_fpath="",
+        ))
+    return runs
+
+
+def test_solve_batch_chunked_matches_unchunked():
+    """Groups beyond MAX_PROGRAM_BATCH solve as sequential chunks padded
+    to ONE compile signature (VERDICT r3 item 4: an uncapped fps group
+    could hand the remote compiler a B>=384/N>=300 program it is
+    measured to 500 on).
+
+    What is (and is not) comparable: the FTE solve amplifies bit-level
+    input noise ~1e9x on weakly-observed fixtures (measured: a 1e-12
+    init perturbation moves the N=16/2-cam solution up to 0.6 — floppy
+    directions plus LM accept/reject gates), and XLA's batch tiling
+    perturbs within-run reductions at the last bit when the batch shape
+    changes, so chunked-vs-unchunked X equality across DIFFERENT batch
+    shapes is meaningless. The exactness contract is per-shape: the
+    chunked solve must be BIT-IDENTICAL to manually solving each padded
+    64-row chunk (same shapes, same program — catches any slicing/
+    padding/alignment bug), and quality-equivalent (per-run cost) to
+    the unchunked solve."""
+    import jax.numpy as jnp
+
+    runs = _cheetah_batch_runs(200)
+    kw = dict(dlc_thresh=0.5, num_iters=3, plain_iters=1, dtype=jnp.float64)
+    chunked = sweep.solve_batch(runs, max_batch=64, **kw)
+    assert len(chunked) == 200
+    # one compile signature: every chunk hit the same jitted solver at
+    # the same (64-row) shapes
+    solver = next(iter(sweep._SOLVER_CACHE.values()))
+    if hasattr(solver, "_cache_size"):
+        assert solver._cache_size() == 1
+    # bit-exact vs manual per-chunk solves (the last chunk padded by
+    # repeating its final run, exactly the _solve_chunked contract)
+    manual = []
+    for lo in range(0, 200, 64):
+        chunk = runs[lo : lo + 64]
+        if len(chunk) < 64 and lo > 0:
+            chunk = chunk + [chunk[-1]] * (64 - len(chunk))
+        out = sweep.solve_batch(chunk, max_batch=None, **kw)
+        manual.extend(out[: len(runs[lo : lo + 64])])
+    for rc, rm in zip(chunked, manual):
+        np.testing.assert_array_equal(rc["x"], rm["x"])
+        assert rc["converged"] == rm["converged"]
+    # quality parity vs the unchunked 200-row program: same optima to
+    # cost tolerance (X itself may differ along floppy directions)
+    full = sweep.solve_batch(runs, max_batch=None, **kw)
+    for rc, rf in zip(chunked, full):
+        assert abs(rc["cost"] - rf["cost"]) <= 2e-2 * abs(rf["cost"]), (
+            rc["data_dir"], rc["cost"], rf["cost"])
+    # X0_override rides through the chunking aligned per-run: a
+    # misaligned slice would hand some run its neighbor's init — with
+    # per-run DISTINCT inits, chunked must stay bit-identical to the
+    # manual per-chunk solve of the same inits
+    X0s = [r["x"] + 1e-3 * (i + 1) for i, r in enumerate(full)]
+    warm_c = sweep.solve_batch(runs, max_batch=64, X0_override=X0s, **kw)
+    warm_m = []
+    for lo in range(0, 200, 64):
+        chunk = runs[lo : lo + 64]
+        Xc = X0s[lo : lo + 64]
+        if len(chunk) < 64 and lo > 0:
+            chunk = chunk + [chunk[-1]] * (64 - len(chunk))
+            Xc = Xc + [Xc[-1]] * (64 - len(Xc))
+        out = sweep.solve_batch(chunk, max_batch=None, X0_override=Xc, **kw)
+        warm_m.extend(out[: len(runs[lo : lo + 64])])
+    for rw, rm in zip(warm_c, warm_m):
+        np.testing.assert_array_equal(rw["x"], rm["x"])
+
+
+def test_initial_trajectory_batch_matches_single():
+    """The batched cold init (one vmapped triangulation program + one
+    host transfer for the whole group — the per-run loop paid a tunnel
+    round-trip per run, 196 s at B=96/N=300) must reproduce per-run
+    initial_trajectory to f64 noise."""
+    from acinoset_tpu.pipeline.fte import (initial_trajectory,
+                                           initial_trajectory_batch)
+
+    runs = _cheetah_batch_runs(3, N=12, n_cams=3)
+    N, C = 12, 3
+    pix_b, lik_b, cams_b = [], [], []
+    for run in runs:
+        pix, lik, cams, _n0 = sweep._pad_run(run, N, C)
+        pix_b.append(pix)
+        lik_b.append(lik)
+        cams_b.append(cams)
+    aux = tuple(np.stack([c[j] for c in cams_b]) for j in range(4))
+    batch = initial_trajectory_batch(
+        np.stack(pix_b), np.stack(lik_b), aux, np.arange(N), 0.5)
+    for i, run in enumerate(runs):
+        single = initial_trajectory(
+            pix_b[i], lik_b[i], cams_b[i][0], cams_b[i][1], cams_b[i][2],
+            cams_b[i][3], np.arange(N), 0.5)
+        np.testing.assert_allclose(batch[i], single, rtol=1e-9, atol=1e-11)
+
+
+def test_solve_batch_ekf_chunked_matches_unchunked():
+    import jax.numpy as jnp
+
+    runs = _cheetah_batch_runs(10, N=12)
+    chunked = sweep.solve_batch_ekf(runs, 0.5, max_batch=4, dtype=jnp.float64)
+    full = sweep.solve_batch_ekf(runs, 0.5, max_batch=None, dtype=jnp.float64)
+    assert len(chunked) == len(full) == 10
+    for rc, rf in zip(chunked, full):
+        np.testing.assert_allclose(
+            rc["states"]["smoothed_x"], rf["states"]["smoothed_x"],
+            rtol=1e-5, atol=1e-7,
+        )
+        assert rc["outliers"] == rf["outliers"]
 
 
 def test_sweep_ekf_surfaces_outliers(dataset_root):
@@ -279,13 +407,15 @@ def test_sweep_rescue_recovers_unconverged(dataset_root):
         assert np.nanmean(err) < 0.06, (res["data_dir"], np.nanmean(err))
 
 
-def test_sweep_auto_warm_start_threshold():
-    """warm_start='auto' switches on exactly for groups longer than
-    AUTO_WARM_N (the measured cold-init divergence threshold)."""
-    assert sweep.AUTO_WARM_N == 150
-    # decision logic mirrors sweep(): group_n > AUTO_WARM_N
-    assert not (100 > sweep.AUTO_WARM_N)
-    assert 300 > sweep.AUTO_WARM_N
+def test_sweep_auto_warm_start_resolves_cold():
+    """warm_start='auto' resolves to the cold TRI+linreg init at EVERY
+    horizon: round 3's auto-on threshold was calibrated on a broken
+    fixture (the synthetic gallop left the camera ring beyond ~N=130),
+    and re-measurement on the repaired fixture showed the EKF warm init
+    lands the GN in a WORSE basin (cold N=300: 6.8 mm converged; warm:
+    0.04-0.065 m unconverged even at 3x budget). The EKF init remains an
+    explicit opt-in (warm_start=True)."""
+    assert sweep.AUTO_WARM_N is None
 
 
 def test_sweep_uncertainty_batched(dataset_root):
