@@ -98,7 +98,7 @@ nb(
 Runnable twin of the reference's `src/EKF.ipynb` (reference
 `src/all_optimizations.py:569-865`): constant-acceleration dynamics over
 the 25 active pose states, all-camera measurement model through FK +
-fisheye projection, 3σ innovation gating, information-form gain, and a
+fisheye projection, 3σ innovation gating, an exact pose-block conditioning gain, and a
 temporally-parallel (associative-scan) RTS backward pass.""",
     [
         ("code", SETUP),
