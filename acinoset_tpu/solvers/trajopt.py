@@ -154,13 +154,20 @@ def third_difference(X, Ts):
 
 
 def _d3_correlate(v, Ts):
-    """g = D3^T v for v of shape (N-3, P): adjoint of third_difference."""
-    N3, P = v.shape
-    g = jnp.zeros((N3 + 3, P), dtype=v.dtype)
-    g = g.at[3:].add(v)
-    g = g.at[2:-1].add(-3.0 * v)
-    g = g.at[1:-2].add(3.0 * v)
-    g = g.at[:-3].add(-v)
+    """g = D3^T v for v of shape (N-3, P): adjoint of third_difference.
+
+    Built from shifted zero-pads + adds rather than `.at[].add()`: the
+    indexed-add form lowers to HLO scatter on TPU (measured 15.1 ms
+    across the 224 pcg occurrences of one bench solve,
+    docs/trace/SUMMARY.md), while pads and adds fuse into one
+    elementwise pass."""
+    z = ((3, 0), (0, 0)), ((2, 1), (0, 0)), ((1, 2), (0, 0)), ((0, 3), (0, 0))
+    g = (
+        jnp.pad(v, z[0])
+        - 3.0 * jnp.pad(v, z[1])
+        + 3.0 * jnp.pad(v, z[2])
+        - jnp.pad(v, z[3])
+    )
     return g / Ts**2
 
 
