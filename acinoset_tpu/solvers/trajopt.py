@@ -506,17 +506,17 @@ def fte_solve(
             # unmasked G is used — M is then approximate, which PCG
             # tolerates.
             diag_extra = diag0 + damp - diag_model  # lim + damp + H diag
-            # keep only H's off-diagonal structure in the einsum operand;
-            # full H is fine too — but diag is already in diag_extra, so
-            # subtract it to avoid double counting
-            H_offdiag = H_meas - jnp.zeros_like(H_meas).at[
-                :, jnp.arange(P), jnp.arange(P)
-            ].set(jnp.diagonal(H_meas, axis1=-2, axis2=-1))
+            # H's diagonal is already inside diag_extra; rather than
+            # materializing an off-diagonal copy of H (a (N, P, P)
+            # diagonal-scatter + full-array subtract per GN iteration),
+            # apply full H in the matvec and cancel the diagonal
+            # contribution elementwise
+            diag_H = jnp.diagonal(H_meas, axis1=-2, axis2=-1)
 
             def _A_mul(x):
                 d3x = third_difference(x, cfg.Ts) * row_mask[:, None]
                 model = 2.0 * _d3_correlate(d3x * wq[None, :], cfg.Ts)
-                meas = jnp.einsum("nij,nj->ni", H_offdiag, x)
+                meas = jnp.einsum("nij,nj->ni", H_meas, x) - diag_H * x
                 return model + meas + diag_extra * x
 
             c_pc = jnp.maximum(jnp.mean(diag_extra, axis=0), 1e-12)
