@@ -270,6 +270,10 @@ def _jac_static_tables():
 
 
 _JAC_ANGLES, _JAC_SEG_MASK, _JAC_ANC_MASK, _JAC_COLS = _jac_static_tables()
+# fk25_and_jac assembles J as concat([I3 (root x/y/z), Jang]) — valid
+# only while the active root translations are pose params 0-2 and the
+# angle columns are the sorted remainder
+assert list(_JAC_COLS) == list(range(3, N_ACTIVE)), _JAC_COLS
 #: combined (L, L, A) mask: marker m sums segment s under angle a
 _JAC_MSA = np.einsum("ms,sa->msa", _JAC_SEG_MASK, _JAC_ANC_MASK)
 
@@ -336,12 +340,14 @@ def fk25_and_jac(x25):
     Jang = jnp.cross(W[None, :, :], T)  # (L, A, 3)
     Jang = jnp.swapaxes(Jang, 1, 2)  # (L, 3, A)
 
-    J = jnp.zeros((N_MARKERS, 3, N_ACTIVE), dtype)
-    J = J.at[:, :, jnp.asarray(_JAC_COLS)].set(Jang)
-    # root translation: identity for every marker
-    pp = get_pose_params()
-    root_cols = jnp.asarray([pp["x_0"], pp["y_0"], pp["z_0"]])
-    J = J.at[:, :, root_cols].set(jnp.broadcast_to(eye3, (N_MARKERS, 3, 3)))
+    # column layout is exactly [root x/y/z | _JAC_COLS in pose order]
+    # (active root translations are pose params 0-2 and _JAC_COLS is the
+    # sorted remainder — asserted at import below), so J assembles as a
+    # single concat: the previous two `.at[:, :, cols].set()` writes
+    # lowered to full-buffer HLO scatters per measurement pass on TPU
+    J = jnp.concatenate(
+        [jnp.broadcast_to(eye3, (N_MARKERS, 3, 3)), Jang], axis=-1
+    )
     return pts, J
 
 
