@@ -25,7 +25,7 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", 96))
     N = int(os.environ.get("BENCH_FRAMES", 100))
-    K = int(os.environ.get("BENCH_CHAIN", 20))
+    K = int(os.environ.get("BENCH_CHAIN", 120))
     P = 25
     dtype = jnp.float32
 
@@ -43,18 +43,22 @@ def main():
     )
 
     def chain_time(make_body, init, label):
+        # r4 timing rule (CLAUDE.md): block_until_ready on a scan
+        # program's output can return BEFORE completion through the
+        # tunnel — sync with a host transfer of a QUADRATIC reduction
+        # of the carry (so XLA cannot hoist the body), K>=120 deep.
         @jax.jit
         def prog(x0):
             def body(c, k):
                 return make_body(c, k), ()
             y, _ = jax.lax.scan(body, x0, jnp.arange(K))
-            return y
+            return jnp.mean(y * y)
 
-        prog(init).block_until_ready()
+        float(prog(init))  # compile + warm
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            prog(init).block_until_ready()
+            float(prog(init))  # host transfer = true completion sync
             ts.append(time.perf_counter() - t0)
         per = min(ts) / K
         print(f"{label}: {per*1e3:.2f} ms/step  (total {min(ts)*1e3:.0f} ms / {K})")
