@@ -146,6 +146,18 @@ class FteConfig:
     #: restores the single-segment schedule (status then pays a
     #: standalone pinned evaluation pass).
     polish_iters: int = 1
+    #: H/g assembly formulation in hj_parts mode. 'einsum' contracts the
+    #: per-marker cores with dot_generals; 'vpu' computes the two small-
+    #: contraction steps (A = Jp^T omega Jp over the 12-wide (cams, uv)
+    #: axis, G = A Jfk over the 3-wide marker axis) as broadcast-
+    #: multiply-reduce fusions instead, keeping only the K=60 GEMM
+    #: H = Jfk^T G on the MXU. Why: the r4 device trace
+    #: (docs/trace/SUMMARY.md) showed the tiny-contraction dot_generals
+    #: running at 1.5-27 GB/s effective (the 6-wide camera axis lands on
+    #: the 128 lanes) plus ~34 ms/solve of pure layout copies feeding
+    #: them. 'auto' (default) resolves to 'vpu' on TPU and 'einsum'
+    #: elsewhere (CPU tests keep the bit-exact legacy order).
+    assembly: str = "auto"
 
 
 def third_difference(X, Ts):
@@ -300,6 +312,14 @@ def fte_solve(
         raise ValueError(
             f"unknown meas_loss {cfg.meas_loss!r}; choose from {_LOSSES}"
         )
+    _ASSEMBLIES = ("auto", "einsum", "vpu")
+    if cfg.assembly not in _ASSEMBLIES:
+        raise ValueError(
+            f"unknown assembly {cfg.assembly!r}; choose from {_ASSEMBLIES}"
+        )
+    vpu_assembly = cfg.assembly == "vpu" or (
+        cfg.assembly == "auto" and jax.default_backend() == "tpu"
+    )
     if aux is not None:
         base_h = h_fn
         h_fn = lambda x: base_h(x, aux)  # noqa: E731
@@ -410,8 +430,25 @@ def fte_solve(
             Lm = meas.shape[2]
             omega = (w_flat_all**2 * w_irls).reshape(N, C, Lm, 2)
             er = (w_flat_all * w_irls * e).reshape(N, C, Lm, 2)
-            A = jnp.einsum("nclui,nclu,ncluj->nlij", JpX, omega, JpX)
-            H_meas = jnp.einsum("nlxa,nlxy,nlyb->nab", JfkX, A, JfkX)
+            if vpu_assembly:
+                # broadcast-multiply-reduce: the 12-wide (C, 2) and
+                # 3-wide contractions are VPU work, not MXU work — as
+                # dot_generals they tile a 128x128 systolic pass with a
+                # 6-wide lane dim and force layout copies of every
+                # operand (measured 1.5 GB/s effective + ~34 ms/solve of
+                # copies, r4 trace). Only the final K=60 contraction is
+                # MXU-shaped and stays a GEMM.
+                Jw = JpX * omega[..., None]  # (C, L, 2, 3)... batched (N,...)
+                A = jnp.sum(
+                    Jw[..., :, None] * JpX[..., None, :], axis=(1, 3)
+                )  # (N, L, 3, 3)
+                G = jnp.sum(
+                    A[..., None] * JfkX[:, :, None, :, :], axis=3
+                )  # (N, L, 3, P)
+                H_meas = jnp.einsum("nlxa,nlxb->nab", JfkX, G)
+            else:
+                A = jnp.einsum("nclui,nclu,ncluj->nlij", JpX, omega, JpX)
+                H_meas = jnp.einsum("nlxa,nlxy,nlyb->nab", JfkX, A, JfkX)
             # the GRADIENT contractions are pinned to exact-f32 MXU
             # passes: at the optimum g_meas is a near-cancelling sum and
             # these einsums are ~1% of the H contractions' FLOPs, so

@@ -118,6 +118,8 @@ def main():
         cfg = replace(cfg, pcg_iters=int(os.environ["BENCH_PCG_ITERS"]))
     if os.environ.get("BENCH_PLAIN"):
         cfg = replace(cfg, plain_iters=int(os.environ["BENCH_PLAIN"]))
+    if os.environ.get("BENCH_ASSEMBLY"):
+        cfg = replace(cfg, assembly=os.environ["BENCH_ASSEMBLY"])
     h = make_h_fn(k_arr, d_arr, r_arr, t_arr, dtype)
     X0 = initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr, np.arange(N), 0.5)
     meas = pixels.transpose(1, 0, 2, 3)

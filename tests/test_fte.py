@@ -164,6 +164,58 @@ def test_fte_linear_solver_variants_agree(synth):
     assert float(info_pl["cost"]) < float(info_ref["cost"]) * 1.2 + 1e-6
 
 
+def test_vpu_assembly_matches_einsum(synth):
+    """The VPU broadcast-multiply-reduce H/g assembly (the TPU default,
+    FteConfig.assembly) reaches the same solution as the legacy einsum
+    contraction in hj_parts mode — they differ only in summation order,
+    so f64 solves must agree to solver tolerance. Also pins the 'auto'
+    resolution: einsum on CPU (bit-exact with the explicit setting)."""
+    from dataclasses import replace
+
+    from acinoset_tpu.pipeline.ekf import make_hj_parts_fn
+    from acinoset_tpu.pipeline.fte import initial_trajectory
+
+    cams, X_true, pixels, likelihood, pts3d = synth
+    k_arr, d_arr, r_arr, t_arr, res = cams
+    cfg = replace(
+        default_config(90.0, num_iters=8),
+        linear_solver="chol_unrolled",
+        assembly="einsum",
+    )
+    h = make_h_fn(k_arr, d_arr, r_arr, t_arr)
+    hj_parts = make_hj_parts_fn(k_arr, d_arr, r_arr, t_arr)
+    N = pixels.shape[1]
+    X0 = jnp.asarray(
+        initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr,
+                           np.arange(N), 0.5)
+    )
+    meas = jnp.asarray(pixels.transpose(1, 0, 2, 3))
+    w = jnp.asarray((likelihood.transpose(1, 0, 2) > 0.5) / cfg.meas_std_px)
+
+    X_ein, info_ein = trajopt.fte_solve(
+        h, X0, meas, w, cfg, hj_parts_fn=hj_parts
+    )
+    X_vpu, info_vpu = trajopt.fte_solve(
+        h, X0, meas, w, replace(cfg, assembly="vpu"), hj_parts_fn=hj_parts
+    )
+    np.testing.assert_allclose(np.asarray(X_vpu), np.asarray(X_ein), atol=1e-6)
+    np.testing.assert_allclose(
+        float(info_vpu["cost"]), float(info_ein["cost"]), rtol=1e-8
+    )
+    assert bool(info_vpu["converged"]) == bool(info_ein["converged"])
+
+    # 'auto' resolves to einsum on the CPU backend: bit-identical
+    X_auto, _ = trajopt.fte_solve(
+        h, X0, meas, w, replace(cfg, assembly="auto"), hj_parts_fn=hj_parts
+    )
+    np.testing.assert_array_equal(np.asarray(X_auto), np.asarray(X_ein))
+
+    with pytest.raises(ValueError, match="assembly"):
+        trajopt.fte_solve(
+            h, X0, meas, w, replace(cfg, assembly="mxu"), hj_parts_fn=hj_parts
+        )
+
+
 def test_hj_fn_matches_jacfwd(synth):
     """The chain-rule (h, J) hook equals jacfwd of the composition."""
     import jax as J
