@@ -84,7 +84,12 @@ def main():
     # remote TPU compiler)
     B = int(os.environ.get("BENCH_BATCH", 96))
     N = int(os.environ.get("BENCH_FRAMES", 100))
-    iters = int(os.environ.get("BENCH_ITERS", 16 if warm else 14))
+    # cold default 13: the r4 budget probe (docs/r04/probe_iters.txt,
+    # probe_vpu_iters.txt) measured 96/96 rescue-inclusive convergence
+    # at equal marker error (7.8 mm) for 13 GN iterations; 12 creeps to
+    # 8.1 mm and trimming pcg_iters below 16 just shifts cost into
+    # rescues (11 rescued at pcg=12)
+    iters = int(os.environ.get("BENCH_ITERS", 16 if warm else 13))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     relin = int(os.environ.get("BENCH_RELIN", 1))
     dtype = jnp.float32
