@@ -180,15 +180,30 @@ def compress_pose(x45):
 # --------------------------------------------------------------------------
 
 
+def _mm3(A, B):
+    """(.., 3, 3) @ (.., 3, 3) as broadcast-multiply-reduce. Under vmap a
+    3x3 `@` lowers to a batched dot_general with contraction dim 3 ≪ 128
+    — a layout liability on TPU (bf16 relayout copies per product,
+    measured 3.3x slower at the measurement-stage level,
+    scripts/probe_meas.py, docs/r04/probe_fk.txt); the multiply-reduce
+    form fuses into plain f32 VPU work."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def _mvT3(R, v):
+    """R^T @ v for (.., 3, 3) and (3,), as multiply-reduce (see _mm3)."""
+    return jnp.sum(R * v[..., :, None], axis=-2)
+
+
 def _local_rotation(has_phi, has_theta, has_psi, phi, theta, psi):
-    R = jnp.eye(3, dtype=phi.dtype)
+    R = None  # compose only the axes present; identity factors elided
     if has_theta:
-        R = rot_y(theta) @ R
+        R = rot_y(theta)
     if has_phi:
-        R = rot_x(phi) @ R
+        R = rot_x(phi) if R is None else _mm3(rot_x(phi), R)
     if has_psi:
-        R = rot_z(psi) @ R
-    return R
+        R = rot_z(psi) if R is None else _mm3(rot_z(psi), R)
+    return jnp.eye(3, dtype=phi.dtype) if R is None else R
 
 
 def fk(x45):
@@ -208,13 +223,13 @@ def fk(x45):
     R = []  # inertial->joint DCMs
     for j, (_name, (parent, has_phi, has_theta, has_psi)) in enumerate(JOINTS.items()):
         Rl = _local_rotation(has_phi, has_theta, has_psi, phi[j], theta[j], psi[j])
-        R.append(Rl if parent < 0 else Rl @ R[parent])
+        R.append(Rl if parent < 0 else _mm3(Rl, R[parent]))
 
     positions = []
     for _name, base_idx, frame_j, offset in MARKER_SPECS:
         base = root if base_idx < 0 else positions[base_idx]
         off = jnp.asarray(offset, dtype=x45.dtype)
-        positions.append(base + R[frame_j].T @ off)
+        positions.append(base + _mvT3(R[frame_j], off))
     return jnp.stack(positions)
 
 
@@ -290,6 +305,15 @@ def fk25_and_jac(x25):
     phi -> R_par^T Ry(theta)^T x_hat), and the full Jacobian is one
     static-mask einsum over the already-computed segment vectors plus one
     cross product. Verified against jacfwd in tests/test_cheetah_model.py.
+
+    Every 3-wide product is a broadcast-multiply-reduce (_mm3/_mvT3) or
+    a static row-select (R^T e_k = R[k]), never a dot_general, and the
+    cross product is emitted directly in (L, 3, A) order: measured 3.3x
+    on the full measurement pass vs the `@`-composed chain, which paid a
+    bf16 relayout copy per 3x3 product plus a (L, 3, A) transpose
+    (scripts/probe_meas.py, docs/r04/probe_fk.txt). Side effect: the
+    chain now runs entirely in f32 VPU fusions, removing the bf16-MXU
+    noise floor the polish tail exists to overcome.
     """
     x25 = jnp.asarray(x25)
     dtype = x25.dtype
@@ -305,7 +329,7 @@ def fk25_and_jac(x25):
         Rl = _local_rotation(has_phi, has_theta, has_psi, phi[j], theta[j], psi[j])
         Rp = eye3 if parent < 0 else R[parent]
         Rpar.append(Rp)
-        R.append(Rl @ Rp)
+        R.append(Rl if parent < 0 else _mm3(Rl, Rp))
 
     # segment world vectors v_s = R_f^T off and positions
     positions = []
@@ -313,32 +337,38 @@ def fk25_and_jac(x25):
     root = x45[:3]
     for _name, base_idx, frame_j, offset in MARKER_SPECS:
         off = jnp.asarray(offset, dtype=dtype)
-        v = R[frame_j].T @ off
+        v = _mvT3(R[frame_j], off)
         segs.append(v)
         base = root if base_idx < 0 else positions[base_idx]
         positions.append(base + v)
     pts = jnp.stack(positions)  # (L, 3)
     V = jnp.stack(segs)  # (L, 3)
 
-    # world rotation axes per active angle
-    xhat = jnp.asarray([1.0, 0.0, 0.0], dtype)
-    yhat = jnp.asarray([0.0, 1.0, 0.0], dtype)
-    zhat = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    # world rotation axes per active angle: R^T @ e_k is row k of R
     omegas = []
     for kind, j in _JAC_ANGLES:
         if kind == "theta":
-            omegas.append(Rpar[j].T @ yhat)
+            omegas.append(Rpar[j][1])  # Rpar^T y_hat
         elif kind == "psi":
-            omegas.append(R[j].T @ zhat)
-        else:  # phi
-            omegas.append(Rpar[j].T @ (rot_y(theta[j]).T @ xhat))
+            omegas.append(R[j][2])  # R^T z_hat
+        else:  # phi: Rpar^T (Ry(th)^T x_hat), Ry(th)^T x_hat = row 0 of Ry
+            c, s = jnp.cos(theta[j]), jnp.sin(theta[j])
+            omegas.append(c * Rpar[j][0] - s * Rpar[j][2])
     W = jnp.stack(omegas)  # (A, 3)
 
     msa = jnp.asarray(_JAC_MSA, dtype)  # (L, L, A) static mask
     T = jnp.einsum("msa,sx->max", msa, V)  # (L, A, 3)
-    # frame (passive) rotations: dR/dtheta = -S R, so omega x v, not v x omega
-    Jang = jnp.cross(W[None, :, :], T)  # (L, A, 3)
-    Jang = jnp.swapaxes(Jang, 1, 2)  # (L, 3, A)
+    # frame (passive) rotations: dR/dtheta = -S R, so omega x v, not
+    # v x omega — components stacked on axis 1 so Jang lands in
+    # (L, 3, A) order without a transpose
+    Jang = jnp.stack(
+        [
+            W[:, 1] * T[..., 2] - W[:, 2] * T[..., 1],
+            W[:, 2] * T[..., 0] - W[:, 0] * T[..., 2],
+            W[:, 0] * T[..., 1] - W[:, 1] * T[..., 0],
+        ],
+        axis=1,
+    )  # (L, 3, A)
 
     # column layout is exactly [root x/y/z | _JAC_COLS in pose order]
     # (active root translations are pose params 0-2 and _JAC_COLS is the

@@ -66,7 +66,7 @@ def main():
     with mesh:
         solver(X0s, meass, ws).block_until_ready()  # compile + warmup
         log_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                               "docs", "trace")
+                               "docs", os.environ.get("TRACE_DIR", "trace"))
         os.makedirs(log_dir, exist_ok=True)
         t0 = time.perf_counter()
         with jax.profiler.trace(log_dir):
