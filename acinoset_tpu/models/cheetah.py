@@ -27,7 +27,7 @@ from collections import OrderedDict
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.rotations import rot_x, rot_y, rot_z
+from ..ops.rotations import mm3, mvT3, rot_x, rot_y, rot_z
 
 # --------------------------------------------------------------------------
 # Static model tables
@@ -180,19 +180,7 @@ def compress_pose(x45):
 # --------------------------------------------------------------------------
 
 
-def _mm3(A, B):
-    """(.., 3, 3) @ (.., 3, 3) as broadcast-multiply-reduce. Under vmap a
-    3x3 `@` lowers to a batched dot_general with contraction dim 3 ≪ 128
-    — a layout liability on TPU (bf16 relayout copies per product,
-    measured 3.3x slower at the measurement-stage level,
-    scripts/probe_meas.py, docs/r04/probe_fk.txt); the multiply-reduce
-    form fuses into plain f32 VPU work."""
-    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
-
-
-def _mvT3(R, v):
-    """R^T @ v for (.., 3, 3) and (3,), as multiply-reduce (see _mm3)."""
-    return jnp.sum(R * v[..., :, None], axis=-2)
+_mm3, _mvT3 = mm3, mvT3  # measured rationale in ops/rotations.py
 
 
 def _local_rotation(has_phi, has_theta, has_psi, phi, theta, psi):

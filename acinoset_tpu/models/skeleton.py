@@ -45,7 +45,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.rotations import rot_x, rot_y, rot_z
+from ..ops.rotations import mm3, mv3, mvT3, rot_x, rot_y, rot_z
+
+
+def _local_rot(dofs_p, phi_i, theta_i, psi_i, dtype):
+    """Local DCM Rz^(hz) Rx^(hx) Ry^(hy) with identity factors elided and
+    3x3 products as multiply-reduce (measured rationale: ops/rotations.mm3)."""
+    hx, hy, hz = dofs_p
+    R = None
+    if hy:
+        R = rot_y(theta_i)
+    if hx:
+        R = rot_x(phi_i) if R is None else mm3(rot_x(phi_i), R)
+    if hz:
+        R = rot_z(psi_i) if R is None else mm3(rot_z(psi_i), R)
+    return jnp.eye(3, dtype=dtype) if R is None else R
 
 
 @dataclass
@@ -137,14 +151,7 @@ def build_skeleton_model(
         rot_i: Dict[str, jnp.ndarray] = {}
         for p in parts:
             i = part_idx[p]
-            R = jnp.eye(3, dtype=x.dtype)
-            hx, hy, hz = dofs[p]
-            if hy:
-                R = rot_y(theta[i]) @ R
-            if hx:
-                R = rot_x(phi[i]) @ R
-            if hz:
-                R = rot_z(psi[i]) @ R
+            R = _local_rot(dofs[p], phi[i], theta[i], psi[i], x.dtype)
             rot[p] = R
             rot_i[p] = R.T
 
@@ -158,16 +165,16 @@ def build_skeleton_model(
                 pose[a] = root
             offset = jnp.asarray(positions[b] - positions[a], dtype=x.dtype)
             parent_acc = rot[a]
-            rot[b] = rot[b] @ parent_acc
+            rot[b] = mm3(rot[b], parent_acc)
             if compat == "reference":
                 # src/build.py:78-80: the "_i" entry flip-flops between the
                 # part's local rotation and its transpose each time the part
                 # appears as a link child; offsets rotate by the parent's
                 # "_i" entry as-is (NOT the cumulative inverse).
                 rot_i[b] = rot_i[b].T
-                pose[b] = pose[a] + rot_i[a] @ offset
+                pose[b] = pose[a] + mv3(rot_i[a], offset)
             else:
-                pose[b] = pose[a] + parent_acc.T @ offset
+                pose[b] = pose[a] + mvT3(parent_acc, offset)
 
         rows = []
         for name in row_order:
@@ -270,15 +277,7 @@ def build_skeleton_model(
         rot: Dict[str, jnp.ndarray] = {}
         for p in parts:
             i = part_idx[p]
-            R = eye3
-            hx, hy, hz = dofs[p]
-            if hy:
-                R = rot_y(theta[i]) @ R
-            if hx:
-                R = rot_x(phi[i]) @ R
-            if hz:
-                R = rot_z(psi[i]) @ R
-            rot[p] = R
+            rot[p] = _local_rot(dofs[p], phi[i], theta[i], psi[i], dtype)
 
         pose: Dict[str, jnp.ndarray] = {}
         Rpar: Dict[str, jnp.ndarray] = {p: eye3 for p in parts}
@@ -293,31 +292,40 @@ def build_skeleton_model(
             off = jnp.asarray(positions[b] - positions[a], dtype=dtype)
             parent_acc = rot[a]
             Rpar[b] = parent_acc
-            rot[b] = rot[b] @ parent_acc
-            v = parent_acc.T @ off
+            rot[b] = mm3(rot[b], parent_acc)
+            v = mvT3(parent_acc, off)
             segs[seg_id[b]] = v
             pose[b] = pose[a] + v
 
         pts = jnp.stack([pose.get(name, root) for name in row_order])
         V = jnp.stack(segs) if S else jnp.zeros((0, 3), dtype)
 
-        xhat = jnp.asarray([1.0, 0.0, 0.0], dtype)
-        yhat = jnp.asarray([0.0, 1.0, 0.0], dtype)
-        zhat = jnp.asarray([0.0, 0.0, 1.0], dtype)
+        # rotation axes as static row-selects: R^T @ e_k is row k of R
         omegas = []
         for kind, p, _c in angle_specs:
             i = part_idx[p]
             if kind == "theta":
-                omegas.append(Rpar[p].T @ yhat)
+                omegas.append(Rpar[p][1])  # Rpar^T y_hat
             elif kind == "psi":
-                omegas.append(rot[p].T @ zhat)
-            else:  # phi
-                ax = rot_y(theta[i]).T @ xhat if dofs[p][1] else xhat
-                omegas.append(Rpar[p].T @ ax)
+                omegas.append(rot[p][2])  # R^T z_hat
+            elif dofs[p][1]:  # phi with a theta dof: Ry(th)^T x = row 0
+                c, s = jnp.cos(theta[i]), jnp.sin(theta[i])
+                omegas.append(c * Rpar[p][0] - s * Rpar[p][2])
+            else:  # phi, no theta
+                omegas.append(Rpar[p][0])  # Rpar^T x_hat
         W = jnp.stack(omegas) if Acnt else jnp.zeros((0, 3), dtype)
 
         T = jnp.einsum("rsa,sx->rax", jnp.asarray(msa, dtype), V)
-        Jang = jnp.swapaxes(jnp.cross(W[None, :, :], T), 1, 2)  # (R, 3, A)
+        # omega x v with components stacked on axis 1: (R, 3, A) without
+        # a transpose (see cheetah.fk25_and_jac)
+        Jang = jnp.stack(
+            [
+                W[:, 1] * T[..., 2] - W[:, 2] * T[..., 1],
+                W[:, 2] * T[..., 0] - W[:, 0] * T[..., 2],
+                W[:, 0] * T[..., 1] - W[:, 1] * T[..., 0],
+            ],
+            axis=1,
+        )  # (R, 3, A)
         J = jnp.zeros((Rrows, 3, n_pose), dtype)
         if Acnt:
             J = J.at[:, :, jnp.asarray(angle_cols)].set(Jang)

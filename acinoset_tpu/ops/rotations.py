@@ -16,6 +16,28 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def mm3(A, B):
+    """(.., 3, 3) @ (.., 3, 3) as broadcast-multiply-reduce.
+
+    Under vmap a 3x3 ``@`` lowers to a batched dot_general with
+    contraction dim 3 ≪ 128 — a layout liability on TPU (a bf16 relayout
+    copy per product; measured 3.3x slower at the measurement-stage
+    level, scripts/probe_meas.py, docs/trace_r4/SUMMARY.md). The
+    multiply-reduce form fuses into plain f32 VPU work.
+    """
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def mvT3(R, v):
+    """``R^T @ v`` for (.., 3, 3) and (.., 3), as multiply-reduce (mm3)."""
+    return jnp.sum(R * v[..., :, None], axis=-2)
+
+
+def mv3(R, v):
+    """``R @ v`` for (.., 3, 3) and (.., 3), as multiply-reduce (mm3)."""
+    return jnp.sum(R * v[..., None, :], axis=-1)
+
+
 def rot_x(a):
     """Frame rotation about x. a: scalar or (...,) -> (..., 3, 3)."""
     c, s = jnp.cos(a), jnp.sin(a)
