@@ -445,7 +445,17 @@ def fte_solve(
                 G = jnp.sum(
                     A[..., None] * JfkX[:, :, None, :, :], axis=3
                 )  # (N, L, 3, P)
-                H_meas = jnp.einsum("nlxa,nlxb->nab", JfkX, G)
+                # merge (l, x) -> one K=60 contraction axis BEFORE the
+                # dot: as a 4-d einsum XLA lowers 'nlxa,nlxb->nab' ~3x
+                # slower (4.78 vs 1.60 ms/call standalone at M=9600,
+                # docs/r04/probe_hgemm.txt) — the merged-axis batched
+                # GEMM is the hottest op in the solve (docs/trace_r4b).
+                Nn = JfkX.shape[0]
+                Jr = JfkX.reshape(Nn, -1, JfkX.shape[-1])
+                Gr = G.reshape(Nn, -1, G.shape[-1])
+                H_meas = jax.lax.dot_general(
+                    Jr, Gr, (((1,), (1,)), ((0,), (0,)))
+                )
             else:
                 A = jnp.einsum("nclui,nclu,ncluj->nlij", JpX, omega, JpX)
                 H_meas = jnp.einsum("nlxa,nlxy,nlyb->nab", JfkX, A, JfkX)
