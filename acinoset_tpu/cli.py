@@ -60,9 +60,12 @@ def main(argv=None):
     ps.add_argument("--stages", type=str, default="fte",
                     help="comma list: fte,ekf")
     ps.add_argument("--warm_start", choices=("auto", "on", "off"), default="auto",
-                    help="EKF-smoothed FTE init: 'auto' (default) enables it "
-                    "for groups longer than %d frames where the cold init "
-                    "diverges; 'on'/'off' force it" % 150)
+                    help="EKF-smoothed FTE init: 'auto' (default) resolves to "
+                    "cold — measured better at every horizon (the EKF init's "
+                    "third-difference cost lands the GN in a worse basin, "
+                    "docs/r04/{cold,warm}_n600.txt); 'on' forces the EKF "
+                    "init (e.g. panning rigs where a straight-line fit is "
+                    "meaningless); 'off' forces cold")
     ps.add_argument("--relinearize_every", type=int, default=1,
                     help="lagged-Jacobian GN: refresh the measurement "
                     "Jacobian every k iterations (1 = every)")

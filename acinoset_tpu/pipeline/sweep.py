@@ -489,7 +489,8 @@ def solve_batch_generic(
     solution (robust weights on from iteration 0). ``warm_start``
     mirrors it too: the batched generic EKF's smoothed poses replace
     the TRI+linreg cold init when forced with True ("auto" = cold — the
-    EKF init measurably lands the GN in a worse basin, see AUTO_WARM_N).
+    EKF init measurably lands the GN in a worse basin — see the
+    warm-start policy note above sweep()).
     """
     from ..models.skeleton import SkeletonModel  # noqa: F401 (doc type)
     from .ekf import nose_track_linreg
@@ -516,7 +517,7 @@ def solve_batch_generic(
             X0_override=X0_override,
         )
     cfg = generic_config(model, fps, num_iters=num_iters, huber_delta=huber_delta)
-    warm = False if warm_start == "auto" else bool(warm_start)  # see AUTO_WARM_N
+    warm = resolve_warm_start(warm_start)
     if X0_override is None and warm:
         ekf_results = solve_batch_ekf_generic(
             model, runs, dlc_thresh, dtype=dtype, init_marker=init_marker,
@@ -970,20 +971,27 @@ def solve_batch_ekf_generic(
     return results
 
 
-#: Round-3 believed the cold TRI+linreg init diverged beyond this frame
-#: count and auto-enabled the EKF warm start there — but that entire
-#: conclusion was measured on a BROKEN fixture (the synthetic gallop ran
-#: out of the camera ring beyond ~N=130; utils/synthetic.cheetah_gallop).
-#: Re-measured on the fixed fixture (r4): cold at N=300 converges to
-#: 6.8 mm (gn 0.006) while the EKF-warm solve lands in a WORSE basin it
-#: cannot leave even at 3x budget (cost 54k vs cold 20k; the EKF output
-#: carries ~1e9 of third-difference cost, the early violent smoothing
-#: wrecks the measurement fit, and the redescending loss then disowns
-#: the data). warm_start="auto" therefore resolves to the cold init at
-#: EVERY horizon; pass warm_start=True only to force the EKF init
-#: explicitly (e.g. panning rigs where a straight-line track fit is
-#: meaningless).
-AUTO_WARM_N = None
+# WARM-START POLICY (r4 measurement, docs/r04/{cold,warm}_n600.txt):
+# round 3 auto-enabled the EKF warm start beyond a frame-count
+# threshold, but that conclusion was measured on a BROKEN fixture (the
+# synthetic gallop ran out of the camera ring beyond ~N=130;
+# utils/synthetic.cheetah_gallop). Re-measured on the fixed fixture:
+# cold at N=300 converges to 6.8 mm (gn 0.006) while the EKF-warm
+# solve lands in a WORSE basin it cannot leave even at 3x budget (cost
+# 54k vs cold 20k; the EKF output carries ~1e9 of third-difference
+# cost, the early violent smoothing wrecks the measurement fit, and
+# the redescending loss then disowns the data). warm_start="auto"
+# therefore resolves to the cold init at EVERY horizon; pass
+# warm_start=True only to force the EKF init explicitly (e.g. panning
+# rigs where a straight-line track fit is meaningless).
+
+
+def resolve_warm_start(warm_start) -> bool:
+    """Resolve the user-facing warm_start knob ('auto'/True/False) to
+    the effective boolean. 'auto' = cold everywhere (see the policy
+    note above); truthy values force the EKF init."""
+    return False if warm_start == "auto" else bool(warm_start)
+
 
 
 def sweep(
@@ -1011,7 +1019,7 @@ def sweep(
     long-horizon fixture the cold init converges (N=300: 6.8 mm,
     gn 0.006) while the EKF init's ~1e9 third-difference cost drives
     the GN into a worse basin it cannot leave even at 3x budget (see
-    AUTO_WARM_N). Use True only when a straight-line track fit is
+    the warm-start policy note above). Use True only when a straight-line track fit is
     meaningless (e.g. panning rigs).
 
     ``rescue``: runs whose stationarity flag comes back unconverged are
@@ -1031,8 +1039,7 @@ def sweep(
 
     all_results = []
     for fps, group in groups.items():
-        group_n = max(r.pixels.shape[1] for r in group)
-        warm = False if warm_start == "auto" else bool(warm_start)  # see AUTO_WARM_N
+        warm = resolve_warm_start(warm_start)
         ekf_results = None
         if "ekf" in stages or (warm and "fte" in stages):
             print(f"EKF: {len(group)} runs @ {fps} fps as one batch")
@@ -1136,8 +1143,7 @@ def sweep_generic(
     for fps, group in groups.items():
         # one EKF solve per group, shared by the ekf-stage output AND the
         # FTE warm start (mirrors the cheetah sweep's stage order)
-        group_n = max(r.pixels.shape[1] for r in group)
-        warm = False if warm_start == "auto" else bool(warm_start)  # see AUTO_WARM_N
+        warm = resolve_warm_start(warm_start)
         ekf_results = None
         if "ekf" in stages or (warm and "fte" in stages):
             print(f"generic EKF: {len(group)} runs @ {fps} fps as one batch")

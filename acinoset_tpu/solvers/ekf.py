@@ -236,6 +236,18 @@ def run_ekf(
     # _chol_inv_blocked3).
     _Lc, Linv = _chol_inv_blocked3(P_pred_next, n_pose)
     P_pred_inv = jnp.swapaxes(Linv, -1, -2) @ Linv
+    # One Newton/Schulz refinement X <- X + X(I - P X): the blocked
+    # factorization's f32 reassociation on TPU degraded the smoothed
+    # marker error 25.3 -> 28.8 mm (docs/r04/probe_ekf_n100*.txt, the
+    # column-unrolled form vs blocked); the refinement squares the
+    # inverse's residual (back under f32 roundoff whatever its source —
+    # MXU rounding, Schur-complement cancellation) for two extra batched
+    # (3p, 3p) matmuls, negligible next to the smoother recursion
+    # (VERDICT r4 item 1). Correction computed separately (X@R, not
+    # X(2I-PX)) so the small term isn't absorbed by the large one.
+    Rres = jnp.eye(n_states, dtype=dtype) - P_pred_next @ P_pred_inv
+    P_pred_inv = P_pred_inv + P_pred_inv @ Rres
+    P_pred_inv = 0.5 * (P_pred_inv + jnp.swapaxes(P_pred_inv, -1, -2))
     A = P_est_h[:-1] @ F.T @ P_pred_inv  # smoother gains, all n at once
     c = x_est_h[:-1] - jnp.einsum("nij,nj->ni", A, x_pred_next)
     D = P_est_h[:-1] - A @ P_pred_next @ jnp.swapaxes(A, -1, -2)

@@ -158,6 +158,16 @@ class FteConfig:
     #: them. 'auto' (default) resolves to 'vpu' on TPU and 'einsum'
     #: elsewhere (CPU tests keep the bit-exact legacy order).
     assembly: str = "auto"
+    #: round the measurement Hessian blocks to bf16 for the pcg matvec
+    #: (f32 accumulate via preferred_element_type). The matvec streams
+    #: H_meas once per pcg iteration at near-HBM-bandwidth (608 GB/s,
+    #: docs/trace_r4b) — halving its bytes attacks the last big
+    #: bandwidth bucket. The rounded H' is a FIXED SPD perturbation of
+    #: H (PCG stays consistent; GN tolerates inexact steps by
+    #: construction), and the diagonal cancellation below uses H''s own
+    #: diagonal so the split stays exact. Off by default pending the
+    #: measured end-to-end verdict (scripts/probe_r5_buckets.py).
+    pcg_meas_bf16: bool = False
 
 
 def third_difference(X, Ts):
@@ -536,10 +546,6 @@ def fte_solve(
         g, diag0, diag_model, h_lim = objective_grad_and_diag(X, H_meas, g_meas)
         damp = lam * jnp.maximum(diag0, 1e-8)  # LM damping
 
-        # stationarity measure at the current linearization point: the
-        # Jacobi-scaled gradient inf-norm (undamped diagonal) — the
-        # solver-status criterion, recorded every iteration
-        gnorm = jnp.max(jnp.abs(g) * jax.lax.rsqrt(jnp.maximum(diag0, 1e-12)))
 
         if cfg.linear_solver == "pcg":
             # spectral preconditioning solves the UNscaled system with a
@@ -558,12 +564,28 @@ def fte_solve(
             # diagonal-scatter + full-array subtract per GN iteration),
             # apply full H in the matvec and cancel the diagonal
             # contribution elementwise
-            diag_H = jnp.diagonal(H_meas, axis1=-2, axis2=-1)
+            if cfg.pcg_meas_bf16:
+                # fixed bf16-rounded operator H' (see FteConfig): the
+                # matvec reads half the bytes; accumulation stays f32
+                H_mv = H_meas.astype(jnp.bfloat16)
+                diag_H = jnp.diagonal(H_mv, axis1=-2, axis2=-1).astype(dtype)
+
+                def _meas_mul(x):
+                    return jax.lax.dot_general(
+                        H_mv, x.astype(jnp.bfloat16),
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=dtype,
+                    )
+            else:
+                diag_H = jnp.diagonal(H_meas, axis1=-2, axis2=-1)
+
+                def _meas_mul(x):
+                    return jnp.einsum("nij,nj->ni", H_meas, x)
 
             def _A_mul(x):
                 d3x = third_difference(x, cfg.Ts) * row_mask[:, None]
                 model = 2.0 * _d3_correlate(d3x * wq[None, :], cfg.Ts)
-                meas = jnp.einsum("nij,nj->ni", H_meas, x) - diag_H * x
+                meas = _meas_mul(x) - diag_H * x
                 return model + meas + diag_extra * x
 
             c_pc = jnp.maximum(jnp.mean(diag_extra, axis=0), 1e-12)
@@ -622,18 +644,18 @@ def fte_solve(
         JX = jax.tree.map(lambda a_, b_: jnp.where(ok, a_, b_), J_new, JX)
         cost = jnp.where(ok, new_cost, cost)
         lam = jnp.clip(jnp.where(ok, lam * cfg.lam_down, lam * cfg.lam_up), 1e-10, 1e10)
-        return (X, hX, JX, lam, cost, ~ok), (cost, gnorm)
+        return (X, hX, JX, lam, cost, ~ok), cost
 
     n_polish = min(max(int(cfg.polish_iters), 0), int(cfg.num_iters))
     n_main = int(cfg.num_iters) - n_polish
     h0, J0 = hj_batch(X0)
     cost0 = objective_from_h(X0, h0)
-    # the per-iteration gnorm trace is kept in the scan for debugging
-    # but is dead by default (XLA removes it): the status gradient is
-    # evaluated under pinned precision below
+    # the scan emits ONLY the cost trace: an in-loop gnorm trace was
+    # dropped outright (r5 bucket audit) — the solver-status gradient
+    # is the separate pinned-precision evaluation below
     lam_start = cfg.lam0 if cfg.lam_init is None else cfg.lam_init
     carry = (X0, h0, J0, jnp.asarray(lam_start, dtype), cost0, jnp.asarray(False))
-    carry, (cost_hist, _gnorm_hist) = jax.lax.scan(
+    carry, cost_hist = jax.lax.scan(
         gn_step, carry, jnp.arange(n_main)
     )
     if n_polish > 0:
@@ -657,7 +679,7 @@ def fte_solve(
             # wrong, so this is safe.
             lam_p = jnp.minimum(carry[3], jnp.asarray(cfg.lam0, dtype))
             carry = (X_m, h_p, J_p, lam_p, cost_p, jnp.asarray(False))
-            carry, (cost_hist_p, _gn_p) = jax.lax.scan(
+            carry, cost_hist_p = jax.lax.scan(
                 gn_step, carry, n_main + jnp.arange(n_polish)
             )
         cost_hist = jnp.concatenate([cost_hist, cost_hist_p])
@@ -697,7 +719,30 @@ def fte_solve(
             # fixture: median std ratio 0.975 (5th pct 0.69 — only the
             # near-floppy tail is shrunk). f64 needs none (1e-12 exact).
             bands_s[0] = bands_s[0] + ridge * jnp.eye(P, dtype=dtype)
-        Zs = block_banded_marginal_covariance(bands_s)
+        if ridge:
+            # the ridge self-diagnosis below needs the SAME recurrence
+            # at double the ridge — run both variants as ONE width-2
+            # vmapped scan instead of two sequential scans: the RGF
+            # scans are latency-bound (sequential depth ~2M steps of
+            # small-block math), so batching the pair ~halves the
+            # uncertainty pass's scan time (VERDICT r4 item 7).
+            # f64 output is bit-equal to the sequential pair; f32
+            # perturbs within the recurrence's own noise floor (median
+            # rel 3e-4, p99 4e-3 on marker_std — an order below the
+            # documented ±2.5% f32/f64 gap): batch-shape changes
+            # perturb XLA reduction tiling (CLAUDE.md r4)
+            b0_pair = jnp.stack(
+                [bands_s[0], bands_s[0] + ridge * jnp.eye(P, dtype=dtype)]
+            )
+            rest = [jnp.stack([bk, bk]) for bk in bands_s[1:]]
+            Z_pair = jax.vmap(
+                lambda b0, b1, b2, b3: block_banded_marginal_covariance(
+                    [b0, b1, b2, b3]
+                )
+            )(b0_pair, *rest)
+            Zs, Zs2 = Z_pair[0], Z_pair[1]
+        else:
+            Zs = block_banded_marginal_covariance(bands_s)
         pose_cov = Zs * s[:, :, None] * s[:, None, :]
         extra["pose_cov"] = pose_cov
         if ridge:
@@ -710,11 +755,8 @@ def fte_solve(
             # Exactly 0 where the ridge is irrelevant, -> 1 for
             # near-floppy directions; measured (not modeled) — the
             # diagonal-sensitivity estimate r*Z^2 overstated the
-            # flagship's affected fraction 10x. Costs one extra scan,
-            # only when compute_cov is on.
-            bands_s2 = list(bands_s)
-            bands_s2[0] = bands_s2[0] + ridge * jnp.eye(P, dtype=dtype)
-            Zs2 = block_banded_marginal_covariance(bands_s2)
+            # flagship's affected fraction 10x. Zs2 came out of the
+            # width-2 vmapped scan above, riding the same program.
             z1 = jnp.diagonal(Zs, axis1=-2, axis2=-1)
             z2 = jnp.diagonal(Zs2, axis1=-2, axis2=-1)
             rel_pose = jnp.clip(
@@ -732,18 +774,29 @@ def fte_solve(
             pose_cov2 = None
         if hj_parts_fn is not None:
             _JpX, JfkX = JX
-            mc = jnp.einsum("nlxa,nab,nlyb->nlxy", JfkX, pose_cov, JfkX)
-            extra["marker_cov"] = mc
-            mvar = jnp.clip(jnp.diagonal(mc, axis1=-2, axis2=-1), 0.0, None)
+            # marker_cov (N, L, 3, 3) is exposed for API completeness
+            # but the sweep path consumes only marker_std — computing
+            # the variances by their OWN direct einsum (not as the
+            # diagonal of mc) lets XLA dead-code the full tensor in the
+            # batched jit that doesn't return it (VERDICT r4 item 7)
+            extra["marker_cov"] = jnp.einsum(
+                "nlxa,nab,nlyb->nlxy", JfkX, pose_cov, JfkX
+            )
+            mvar = jnp.clip(
+                jnp.einsum("nlxa,nab,nlxb->nlx", JfkX, pose_cov, JfkX),
+                0.0, None,
+            )
             extra["marker_std"] = jnp.sqrt(mvar)
             if ridge:
                 # per-cell marker-space deficit by the same two-point
                 # extrapolation, plus the fraction of live cells whose
                 # bars are >10% understated in variance — the per-run
                 # "which error bars are affected" signal
-                mc2 = jnp.einsum("nlxa,nab,nlyb->nlxy", JfkX, pose_cov2, JfkX)
                 v1 = mvar
-                v2 = jnp.clip(jnp.diagonal(mc2, axis1=-2, axis2=-1), 0.0, None)
+                v2 = jnp.clip(
+                    jnp.einsum("nlxa,nab,nlxb->nlx", JfkX, pose_cov2, JfkX),
+                    0.0, None,
+                )
                 rel = jnp.clip(
                     (v1 - v2) / jnp.maximum(2.0 * v1 - v2, 1e-30), 0.0, 1.0
                 )

@@ -36,6 +36,9 @@ Env overrides:
   BENCH_NO_RESCUE=1 — headline WITHOUT the rescue pass (by default the
                    reported rate includes re-solving unconverged runs
                    at 3x budget — what `cli sweep` actually pays)
+  BENCH_GENERIC=1 — ALSO time the generic-skeleton (src/build.py twin)
+                   batched FTE + EKF on the shipped human skeleton/DLC
+                   data (BENCH_GENERIC_BATCH/FRAMES/ITERS shape it)
   BENCH_PEAK_TFLOPS — peak for the mfu_pct field (default 197, v5e bf16)
 """
 import json
@@ -48,13 +51,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def _best_time(fn, repeats):
+def _times(fn, repeats):
+    """All repeat wall times. Same-config runs spread ±3-6% through the
+    tunnel (docs/r04/probe_iters.txt: 609 vs 576 traj/s identical
+    configs), so adoption decisions need the whole sample, not min-of-3
+    (VERDICT r4 item 5)."""
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
-    return min(times)
+    return times
+
+
+def _best_time(fn, repeats):
+    return min(_times(fn, repeats))
 
 
 def main():
@@ -90,7 +101,7 @@ def main():
     # 8.1 mm and trimming pcg_iters below 16 just shifts cost into
     # rescues (11 rescued at pcg=12)
     iters = int(os.environ.get("BENCH_ITERS", 16 if warm else 13))
-    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5))
     relin = int(os.environ.get("BENCH_RELIN", 1))
     dtype = jnp.float32
 
@@ -125,6 +136,8 @@ def main():
         cfg = replace(cfg, plain_iters=int(os.environ["BENCH_PLAIN"]))
     if os.environ.get("BENCH_ASSEMBLY"):
         cfg = replace(cfg, assembly=os.environ["BENCH_ASSEMBLY"])
+    if os.environ.get("BENCH_PCG_BF16"):
+        cfg = replace(cfg, pcg_meas_bf16=True)
     h = make_h_fn(k_arr, d_arr, r_arr, t_arr, dtype)
     X0 = initial_trajectory(pixels, likelihood, k_arr, d_arr, r_arr, t_arr, np.arange(N), 0.5)
     meas = pixels.transpose(1, 0, 2, 3)
@@ -196,9 +209,14 @@ def main():
     with mesh:
         out = solver(X0s, meass, ws)  # compile + warmup
         X, converged, grad_norm = jax.block_until_ready(out)
-        best = _best_time(
+        solve_times = _times(
             lambda: jax.block_until_ready(solver(X0s, meass, ws)), repeats
         )
+    best = min(solve_times)
+    extra["solve_times_sec"] = [round(t, 4) for t in solve_times]
+    extra["solve_spread_pct"] = round(
+        100.0 * (max(solve_times) - best) / best, 1
+    )
     extra["n_converged"] = int(np.asarray(converged).sum())
     extra["max_grad_norm"] = round(float(np.asarray(grad_norm).max()), 4)
 
@@ -309,6 +327,73 @@ def main():
         jax.block_until_ready(mout)
         t_mixed = _best_time(lambda: jax.block_until_ready(msolver(*margs)), repeats)
         extra["mixed_traj_per_sec"] = round(B / (t_mixed + t_ekf), 3)
+
+    if os.environ.get("BENCH_GENERIC"):
+        # generic-skeleton (src/build.py twin) on-device record (VERDICT
+        # r4 item 4): B replicated windows of the SHIPPED human DLC data
+        # (/root/reference/data/*.h5, 15 markers, 48-DoF non-tree
+        # skeleton -> synthesized-Jacobian path) through the batched
+        # generic FTE + EKF entrypoints at sweep-realistic shapes.
+        from glob import glob
+
+        from acinoset_tpu.models.skeleton import build_skeleton_model
+        from acinoset_tpu.pipeline import data as data_io
+        from acinoset_tpu.pipeline import sweep as sweep_lib
+
+        REF = "/root/reference"
+        skel = data_io.load_skeleton(f"{REF}/skeletons/new_human.pickle")
+        gmodel = build_skeleton_model(skel)
+        gk, gd, gr, gt, _gres = data_io.load_scene(
+            f"{REF}/data/4_cam_scene_static_sba.json"
+        )
+        p2d = data_io.load_dlc_points(
+            sorted(glob(f"{REF}/data/*.h5")), markers=gmodel.markers
+        )
+        gB = int(os.environ.get("BENCH_GENERIC_BATCH", B))
+        gN = int(os.environ.get("BENCH_GENERIC_FRAMES", N))
+        giters = int(os.environ.get("BENCH_GENERIC_ITERS", 30))
+        win = p2d.window(60, 60 + gN)
+        grng = np.random.default_rng(11)
+        gruns = []
+        for i in range(gB):
+            # jitter pixels per replica so trajectories differ (same
+            # scheme as the cheetah batch's X0 perturbation)
+            px = win.pixels + grng.normal(scale=0.5, size=win.pixels.shape)
+            gruns.append(sweep_lib.RunData(
+                data_dir=f"human_{i}", pixels=px,
+                likelihood=np.nan_to_num(win.likelihood, nan=-1.0),
+                cams=(gk, gd.reshape(-1, 4), gr, np.asarray(gt).reshape(-1, 3)),
+                fps=120.0, start_frame=60, scene_fpath="",
+            ))
+        gkw = dict(dlc_thresh=0.4, num_iters=giters, max_batch=None)
+
+        def run_gfte():
+            return sweep_lib.solve_batch_generic(gmodel, gruns, **gkw)
+
+        gres = run_gfte()  # compile + warmup
+        g_times = _times(run_gfte, repeats)
+        g_best = min(g_times)
+
+        def run_gekf():
+            return sweep_lib.solve_batch_ekf_generic(
+                gmodel, gruns, 0.4, max_batch=None
+            )
+
+        run_gekf()  # compile + warmup
+        ge_times = _times(run_gekf, repeats)
+        extra["generic_traj_per_sec"] = round(gB / g_best, 3)
+        extra["generic_times_sec"] = [round(t, 4) for t in g_times]
+        extra["generic_ekf_runs_per_sec"] = round(gB / min(ge_times), 3)
+        extra["generic_shapes"] = f"B={gB}, N={gN}, C=2, L=15, iters={giters}"
+        extra["generic_n_converged"] = sum(
+            int(r.get("converged", False)) for r in gres
+        )
+        extra["generic_mean_cost"] = round(
+            float(np.mean([r["cost"] for r in gres])), 3
+        )
+        extra["generic_max_grad_norm"] = round(
+            float(max(r["grad_norm"] for r in gres)), 4
+        )
 
     traj_per_sec = B / (best + t_ekf + t_rescue)
     baseline = 1.5  # north-star: 90 trajectories / 60 s

@@ -48,7 +48,10 @@ def test_ekf_tracks_synthetic_run(synth):
     mk_err = np.linalg.norm(mk[20:] - np.asarray(
         jax.vmap(cheetah.fk25)(jnp.asarray(X_true))
     )[20:], axis=-1)
-    assert np.nanmean(mk_err) < 0.10, np.nanmean(mk_err)
+    # tight pin (measured 0.0452 on this fixture): the r4 blocked-
+    # smoother rewrite silently regressed the TPU smoothed error 14%
+    # under a 0.10 bound — keep <=10% headroom so a repeat fails here
+    assert np.nanmean(mk_err) < 0.050, np.nanmean(mk_err)
 
 
 def test_ekf_f32_matches_f64(synth):
@@ -81,6 +84,7 @@ def test_ekf_f32_matches_f64(synth):
     # states loosely — a clamped-pivot degradation would blow both up
     import jax, jax.numpy as jnp2
 
+    mk_true = np.asarray(jax.vmap(cheetah.fk25)(jnp2.asarray(X_true)))
     for key in ("x", "smoothed_x"):
         diff = np.abs(s32[key].astype(np.float64) - s64[key])
         assert diff.max() < 0.3, (key, diff.max())
@@ -89,6 +93,14 @@ def test_ekf_f32_matches_f64(synth):
         mk64 = np.asarray(jax.vmap(cheetah.fk25)(jnp2.asarray(s64[key])))
         mk_gap = np.linalg.norm(mk32 - mk64, axis=-1)
         assert mk_gap.mean() < 1e-2, (key, mk_gap.mean())
+        # the fast (f32) path must not be the less accurate one: its
+        # error vs truth may beat f64 (filter chaos) but never exceed
+        # it by >5% — the guard VERDICT r4 item 1 asked for (the r4
+        # blocked smoother shipped a 14% TPU-only regression under the
+        # old product-level bound)
+        e32 = np.nanmean(np.linalg.norm(mk32[20:] - mk_true[20:], axis=-1))
+        e64 = np.nanmean(np.linalg.norm(mk64[20:] - mk_true[20:], axis=-1))
+        assert e32 < 1.05 * e64, (key, e32, e64)
 
 
 def test_ekf_sequential_smoother_matches_associative(synth):

@@ -415,7 +415,9 @@ def test_sweep_auto_warm_start_resolves_cold():
     lands the GN in a WORSE basin (cold N=300: 6.8 mm converged; warm:
     0.04-0.065 m unconverged even at 3x budget). The EKF init remains an
     explicit opt-in (warm_start=True)."""
-    assert sweep.AUTO_WARM_N is None
+    assert sweep.resolve_warm_start("auto") is False
+    assert sweep.resolve_warm_start(True) is True
+    assert sweep.resolve_warm_start(False) is False
 
 
 def test_sweep_uncertainty_batched(dataset_root):
