@@ -208,12 +208,16 @@ def banded_solve_grouped(bands: Sequence[jnp.ndarray], g: jnp.ndarray):
 
 
 def _schur_factor_step(Li_prev, inp):
-    """One step of the block-tridiagonal Schur/Cholesky recurrence —
-    the SINGLE implementation shared by the grouped direct solve
-    (banded_solve_grouped) and the RGF marginal-covariance forward pass
-    (block_banded_marginal_covariance), so a pivot/ridge change can
-    never silently diverge the two. carry: Li_prev = chol(F_{m-1})^{-1};
-    inp: (d, l) = (D_m, B_m). Emits (Li, Loff) with
+    """One step of the block-tridiagonal Schur/Cholesky recurrence for
+    the grouped direct solve (banded_solve_grouped). The RGF
+    marginal-covariance forward pass (block_banded_marginal_covariance)
+    uses a deliberately DIVERGED variant since r5: same recurrence, but
+    the per-step factorization is the 3x-shallower blocked form plus a
+    post-scan Newton refinement of the batched Finv (the unrolled
+    G=3P-column factorization per scan step was the latency floor of
+    the whole uncertainty pass; the direct solver keeps this bit-exact
+    unrolled form — golden fixtures pin it). carry: Li_prev =
+    chol(F_{m-1})^{-1}; inp: (d, l) = (D_m, B_m). Emits (Li, Loff) with
     F_m = D_m - Loff Loff^T, Loff = B_m chol(F_{m-1})^{-T}."""
     d, l = inp
     Loff = l @ Li_prev.T
@@ -526,9 +530,33 @@ def block_banded_marginal_covariance(bands: Sequence[jnp.ndarray]) -> jnp.ndarra
     dtype = diag.dtype
     eye = jnp.eye(G, dtype=dtype)
 
-    # lower[0] = 0 -> F_0 = D_0
-    _, (Li, _Loff) = jax.lax.scan(_schur_factor_step, eye, (diag, lower))
+    # lower[0] = 0 -> F_0 = D_0. The Schur step's G-column unrolled
+    # Cholesky (G=3P=75 columns of full-buffer updates per scan step)
+    # made the forward scan the latency floor of the whole uncertainty
+    # pass; the blocked 3x3-of-(P,P) factorization cuts the unrolled
+    # depth 3x, and ONE Newton/Schulz refinement of Finv per step
+    # (two (G, G) matmuls) pulls the blocked form's f32 reassociation
+    # back under roundoff — same recipe as the RTS smoother gain
+    # (solvers/ekf.py, VERDICT r4 item 1). Finv stays a PSD product
+    # plus a symmetrized correction, preserving the recurrence's
+    # PSD-additive stability story.
+    def _schur_step_blocked(Li_prev, inp):
+        d, l = inp
+        Loff = l @ Li_prev.T
+        S = d - Loff @ Loff.T
+        _L0, Li = _chol_inv_blocked3(S, P)
+        return Li, (Li, Loff)
+
+    _, (Li, Loff) = jax.lax.scan(_schur_step_blocked, eye, (diag, lower))
     Finv = jnp.einsum("mki,mkj->mij", Li, Li)  # (M, G, G)
+    # the Newton/Schulz refinement promised above — applied to the
+    # BATCHED Finv after the scan (two (M, G, G) matmuls, off the
+    # latency path). The carried factor keeps the blocked form's
+    # rounding (it only positions the factorization point); the
+    # emitted inverses that both recurrences consume are refined.
+    Fm = diag - Loff @ _T(Loff)
+    Finv = Finv + Finv @ (eye - Fm @ Finv)
+    Finv = 0.5 * (Finv + _T(Finv))
 
     B_next = jnp.concatenate([lower[1:], jnp.zeros((1, G, G), dtype)])
 

@@ -463,6 +463,11 @@ def fte_solve(
                 Nn = JfkX.shape[0]
                 Jr = JfkX.reshape(Nn, -1, JfkX.shape[-1])
                 Gr = G.reshape(Nn, -1, G.shape[-1])
+                # default (bf16 MXU) precision is INTENTIONAL here, per
+                # the repo precision policy: in-loop H noise is covered
+                # by the pinned-f32 polish tail + pinned status
+                # evaluation (ADVICE r4) — only the gradient einsums
+                # below pin HIGHEST
                 H_meas = jax.lax.dot_general(
                     Jr, Gr, (((1,), (1,)), ((0,), (0,)))
                 )

@@ -109,9 +109,56 @@ def main():
         )  # (B,N,L,3,P)
         return k60(Jfk, G), grads(Jp, er, Jfk)
 
+    def _pack_gemm(Jfk, G, F):
+        """Block-diagonal frame packing: the K=60 GEMM is MXU-occupancy
+        bound (117 GB/s, 25x25 output tiles underfill the 128x128
+        array) — pack F frames' (60, 25) operands into one
+        (60F, 25F) block-diagonal pair. The GEMM then computes F^2
+        blocks of which only the F diagonal ones are wanted (F x padded
+        FLOPs — all zeros off-diagonal), but tiles fill (25F/128)^2 of
+        the array instead of (25/128)^2."""
+        Bz, Nz = Jfk.shape[:2]
+        Jr = Jfk.reshape(Bz, Nz, -1, Jfk.shape[-1])
+        Gr = G.reshape(Bz, Nz, -1, G.shape[-1])
+        M = Nz // F
+        K_, P_ = Jr.shape[2], Jr.shape[3]
+
+        def pack(X):
+            Xm = X.reshape(Bz, M, F, K_, P_)
+            # (B, M, F*K, F*P) block-diagonal
+            blocks = []
+            for f in range(F):
+                row = [
+                    Xm[:, :, f] if g == f else jnp.zeros_like(Xm[:, :, f])
+                    for g in range(F)
+                ]
+                blocks.append(jnp.concatenate(row, axis=-1))
+            return jnp.concatenate(blocks, axis=-2)
+
+        Jb, Gb = pack(Jr), pack(Gr)
+        Hb = jax.lax.dot_general(Jb, Gb, (((2,), (2,)), ((0, 1), (0, 1))))
+        Hs = [
+            Hb[:, :, f * P_:(f + 1) * P_, f * P_:(f + 1) * P_]
+            for f in range(F)
+        ]
+        return jnp.stack(Hs, axis=2).reshape(Bz, Nz, P_, P_)
+
+    def w5_pack2(Jp, omega, er, Jfk):
+        Jw = Jp * omega[..., None]
+        A = jnp.sum(Jw[..., :, None] * Jp[..., None, :], axis=(2, 4))
+        G = jnp.sum(A[..., None] * Jfk[:, :, :, None, :, :], axis=4)
+        return _pack_gemm(Jfk, G, 2), grads(Jp, er, Jfk)
+
+    def w6_pack5(Jp, omega, er, Jfk):
+        Jw = Jp * omega[..., None]
+        A = jnp.sum(Jw[..., :, None] * Jp[..., None, :], axis=(2, 4))
+        G = jnp.sum(A[..., None] * Jfk[:, :, :, None, :, :], axis=4)
+        return _pack_gemm(Jfk, G, 5), grads(Jp, er, Jfk)
+
     variants = {
         "w0_current": w0_current, "w1_g_unroll": w1_g,
         "w2_a_unroll": w2_a, "w3_both": w3_both, "w4_skipA": w4_skipA,
+        "w5_pack2": w5_pack2, "w6_pack5": w6_pack5,
     }
     ref = None
     for name, fn in variants.items():
