@@ -37,19 +37,25 @@ scripts/probe_mosaic.py / probe_mosaic2.py):
     n of the bands block is rewritten [L0^-1 | L1 | L2 | L3] once
     consumed, halving VMEM so larger batch tiles fit.
 
-Performance reality (measured on v5e, B=96 N=100 P=25, stages chained
-inside one jit — `scripts/profile_fte.py`; per-call wall timings
-through the TPU tunnel under-report ~50x, see CLAUDE.md): the XLA path
-(`block_banded_solve_unrolled` under vmap) runs this solve in ~16 ms,
-and this kernel in >=288 ms — a single-TensorCore Pallas grid
-serializes the batch (grid steps run one after another on the core)
-while the XLA scan batches every small op over all 96 trajectories.
-The kernel is kept as the validated single-launch template —
-numerically verified in interpret mode and on-device, correct on
-ill-conditioned FTE-like systems (tests/test_pallas_kernels.py) — but
-it is not the production default: the solve's sequential-depth cost is
-better attacked with algorithms whose depth is iterations, not frames
-(see the CG backends in solvers/banded.py).
+Performance reality — FORMAL STATUS (r5 on-device record,
+docs/r05/pallas_ondevice.txt, closing SURVEY §2.4's Pallas
+obligation): the kernel compiles and runs under the current jax/Mosaic
+(the design routes around the three lowering gaps: dynamic value
+indexing -> one-hot matmuls, 1-D vector ops -> (1, 32) rows, batched
+dot_general -> static 2-D dot loops) and is correct to 4.6e-7 on the
+flagship B=96/N=100/P=25 solve — at 279.2 ms vs 0.227 ms for the
+batched XLA path (`block_banded_solve_unrolled` under vmap) and
+0.258 ms for cyclic reduction, distinct-rhs individually-synced calls
+(scripts/bench_pallas_banded.py; per-call tunnel timings under-report
+~50x, see CLAUDE.md). A single-TensorCore Pallas grid serializes the
+batch (grid steps run one after another on the core) while the XLA
+program batches every small op over all 96 trajectories full-chip.
+Retained as the validated single-launch template (numerically verified
+in interpret mode and on-device, including ill-conditioned FTE-like
+systems — tests/test_pallas_kernels.py); NOT the production default,
+and no further Pallas work is planned for this op: the solve's
+sequential-depth cost is better attacked with algorithms whose depth
+is iterations, not frames (the CG backends in solvers/banded.py).
 """
 from __future__ import annotations
 

@@ -805,10 +805,14 @@ _GENERIC_EKF_CACHE: Dict = {}
 
 
 def _cached_batch_ekf_solver_generic(model, cfg, N, C, dtype_str,
-                                     qb_bytes, p0_bytes):
+                                     qb_bytes, p0_bytes,
+                                     smoother: str = "auto"):
     """Generic-skeleton twin of _cached_batch_ekf_solver: one jitted
-    vmapped EKF+RTS program per (model, config, padded shapes)."""
-    key = (id(model), cfg, N, C, dtype_str, qb_bytes, p0_bytes)
+    vmapped EKF+RTS program per (model, config, padded shapes).
+    ``smoother`` passes through to run_ekf — the associative/sequential
+    'auto' knee (N=256) was tuned on the 75-state cheetah; large-state
+    skeletons (human: 144) shift it (docs/r05/probe_generic_ekf.txt)."""
+    key = (id(model), cfg, N, C, dtype_str, qb_bytes, p0_bytes, smoother)
     entry = _GENERIC_EKF_CACHE.get(key)
     if entry is None:
         from dataclasses import replace as dc_replace
@@ -839,7 +843,7 @@ def _cached_batch_ekf_solver_generic(model, cfg, N, C, dtype_str,
                 lambda p: h_aux(p, auxi), pix, lik,
                 x0, jnp.asarray(P0, dtype), qb,
                 dc_replace(cfg, max_pixel_err=mpe_i),
-                hj_fn=hj,
+                hj_fn=hj, smoother=smoother,
             )
             out["marker_std"] = jax.vmap(mstd)(out["smoothed_x"], out["smoothed_P"])
             return out
@@ -862,6 +866,7 @@ def solve_batch_ekf_generic(
     max_batch: Optional[int] = MAX_PROGRAM_BATCH,
     pad_frames: Optional[int] = None,
     pad_cams: Optional[int] = None,
+    smoother: str = "auto",
 ) -> List[Dict]:
     """Batched EKF+RTS for arbitrary skeletons — capability beyond the
     reference (src/build.py has no EKF stage; src/all_optimizations.py
@@ -886,6 +891,7 @@ def solve_batch_ekf_generic(
                 pos_process_std=pos_process_std,
                 ang_process_std=ang_process_std, mesh=mesh,
                 max_batch=None, pad_frames=N, pad_cams=C,
+                smoother=smoother,
             ),
         )
     n_pose = model.n_pose
@@ -945,7 +951,8 @@ def solve_batch_ekf_generic(
         (ap,), _ = mesh_lib.pad_batch([a], n_dev)
         aux_p.append(jax.device_put(jnp.asarray(ap, dtype), shard))
     out = _cached_batch_ekf_solver_generic(
-        model, cfg, N, C, str(dtype), qb.tobytes(), P0.tobytes()
+        model, cfg, N, C, str(dtype), qb.tobytes(), P0.tobytes(),
+        smoother=smoother,
     )(
         jax.device_put(jnp.asarray(pixp, dtype), shard),
         jax.device_put(jnp.asarray(likp, dtype), shard),

@@ -547,7 +547,14 @@ def block_banded_marginal_covariance(bands: Sequence[jnp.ndarray]) -> jnp.ndarra
         _L0, Li = _chol_inv_blocked3(S, P)
         return Li, (Li, Loff)
 
-    _, (Li, Loff) = jax.lax.scan(_schur_step_blocked, eye, (diag, lower))
+    import os as _os
+
+    step = (
+        _schur_factor_step
+        if _os.environ.get("ACINOSET_COV_STEP") == "unrolled"
+        else _schur_step_blocked
+    )
+    _, (Li, Loff) = jax.lax.scan(step, eye, (diag, lower))
     Finv = jnp.einsum("mki,mkj->mij", Li, Li)  # (M, G, G)
     # the Newton/Schulz refinement promised above — applied to the
     # BATCHED Finv after the scan (two (M, G, G) matmuls, off the
