@@ -784,20 +784,29 @@ def solve_batch_ekf(
         jax.device_put(jnp.asarray(mpep, dtype), shard),
     )
     out = {k2: v[:B0] for k2, v in out.items()}
+    # ONE device->host transfer per key + ONE batched FK program: the
+    # per-run sliced np.asarray / per-run vmap(fk25) calls this replaces
+    # each paid a full tunnel round-trip (~7 keys x B=96 ~ 600 of them
+    # -> tens of seconds through the remote TPU while the EKF program
+    # itself runs 0.15 s — the same host-loop class as the r4 batched-
+    # triangulation fix, tri.triangulate_runs_batch).
+    pos_all = np.asarray(_cached_fk_batch()(out["smoothed_x"]))
+    host = {k2: np.asarray(v) for k2, v in out.items()
+            if k2 not in ("P", "smoothed_P")}
     results = []
     for i, run in enumerate(runs):
         n0 = n_valid[i]
-        states = {k2: np.asarray(v[i][:n0]) if np.asarray(v[i]).ndim else v[i]
-                  for k2, v in out.items() if k2 not in ("P", "smoothed_P", "outliers")}
-        x_s = np.asarray(out["smoothed_x"][i][:n0], np.float64)
-        positions = np.asarray(jax.vmap(cheetah.fk25)(jnp.asarray(x_s)))
-        results.append(dict(data_dir=run.data_dir, positions=positions, states=states,
+        states = {k2: (v[i][:n0] if v.ndim > 1 else v[i])
+                  for k2, v in host.items() if k2 != "outliers"}
+        results.append(dict(data_dir=run.data_dir,
+                            positions=pos_all[i, :n0].astype(np.float64),
+                            states=states,
                             start_frame=run.start_frame, scene_fpath=run.scene_fpath,
                             max_pixel_err=float(mpe[i]),
                             # per-run filter status (gated-pair count —
                             # the EKF's failure-detection signal, parity
                             # with the FTE stage's converged/grad_norm)
-                            outliers=int(out["outliers"][i])))
+                            outliers=int(host["outliers"][i])))
     return results
 
 
@@ -859,9 +868,10 @@ def solve_batch_ekf_generic(
     dlc_thresh: float,
     dtype=jnp.float32,
     init_marker: str = "forehead",
-    meas_std_px: float = 3.0,
+    meas_std_px: float = 8.0,
     pos_process_std: float = 5.0,
-    ang_process_std: float = 25.0,
+    ang_process_std: float = 5.0,
+    ang_prior_std: float = np.pi / 8,
     mesh=None,
     max_batch: Optional[int] = MAX_PROGRAM_BATCH,
     pad_frames: Optional[int] = None,
@@ -873,8 +883,18 @@ def solve_batch_ekf_generic(
     runs it only for the hard-coded cheetah). Same padding/aux scheme as
     solve_batch_ekf; process-noise stds are blanket per-kind defaults
     (root-translation jerk ``pos_process_std`` m/s^3, angle jerk
-    ``ang_process_std`` rad/s^3 — the scale of the cheetah's measured
-    qb table) since generic skeletons carry no tuned table."""
+    ``ang_process_std`` rad/s^3) since generic skeletons carry no tuned
+    qb table.
+
+    Defaults were MEASURED on the shipped human fixture (2 cams, 15
+    markers, 48-DoF; scripts/debug_generic_ekf.py, docs/r05): the
+    cheetah-scale trio (meas 3 px, angle jerk 25 rad/s^3, angle prior
+    pi/4) never locks on — 49% of pairs gated by frame 5, angles random-
+    walk past 5 rad and the f32 filter diverges outright (pos spread
+    ~1e12 on-device). The soft-measurement set (8 px, 5 rad/s^3, pi/8)
+    tracks the whole window at 69/3000 gated pairs with a stable pose.
+    Under-weighting well-conditioned rigs is the cheap direction —
+    tighten ``meas_std_px`` only with >2 cameras or a tuned skeleton."""
     from ..solvers import ekf as ekf_solver
     from .ekf import nose_track_linreg
     from .tri import triangulate_runs_batch
@@ -905,7 +925,7 @@ def solve_batch_ekf_generic(
     ])
     p_ang = np.ones(n_pose - 3)
     P0 = np.diag(np.concatenate([
-        np.ones(3) * 9.0, p_ang * (np.pi / 4) ** 2,  # pose
+        np.ones(3) * 9.0, p_ang * ang_prior_std**2,  # pose
         np.ones(3) * 25.0, p_ang * 9.0,              # velocity
         np.ones(3) * 9.0, p_ang * 25.0,              # acceleration
     ]))
@@ -963,17 +983,22 @@ def solve_batch_ekf_generic(
     out = {k2: v[:B0] for k2, v in out.items()}
     fk_batch = jax.jit(jax.vmap(jax.vmap(model.fk)))
     pos_all = np.asarray(fk_batch(jnp.asarray(out["smoothed_x"], dtype)))
+    # ONE device->host transfer per key (see solve_batch_ekf: per-run
+    # sliced transfers paid ~600 tunnel round-trips at B=96 — the 144-
+    # state human stage measured 51-66 s end-to-end while the device
+    # program is ~1 s, docs/r05/probe_generic_ekf.txt)
+    host = {k2: np.asarray(v) for k2, v in out.items()
+            if k2 not in ("P", "smoothed_P")}
     results = []
     for i, run in enumerate(runs):
         n0 = n_valid[i]
-        states = {k2: np.asarray(v[i][:n0]) if np.asarray(v[i]).ndim else v[i]
-                  for k2, v in out.items()
-                  if k2 not in ("P", "smoothed_P", "outliers")}
+        states = {k2: (v[i][:n0] if v.ndim > 1 else v[i])
+                  for k2, v in host.items() if k2 != "outliers"}
         results.append(dict(
             data_dir=run.data_dir, positions=pos_all[i, :n0].astype(np.float64),
             states=states, start_frame=run.start_frame,
             scene_fpath=run.scene_fpath, max_pixel_err=float(mpe[i]),
-            outliers=int(out["outliers"][i]),
+            outliers=int(host["outliers"][i]),
         ))
     return results
 

@@ -498,7 +498,15 @@ def test_sweep_generic_ekf_and_warm_start():
         assert res["states"]["smoothed_x"].shape == (n, model.n_pose)
         ms = res["states"]["marker_std"]
         assert ms.shape == (n, model.n_markers, 3) and (ms > 0).all()
-        assert res["outliers"] >= 0
+        # lock-on guard (r5): the cheetah-scale defaults this replaced
+        # gated ~87% of pairs by frame 5 and random-walked the pose past
+        # 5 rad (docs/r05/probe_generic_ekf_divergence.txt); the measured
+        # soft-measurement defaults keep gating rare and the pose sane
+        n_pairs = n * win.pixels.shape[0] * model.n_markers
+        assert res["outliers"] < 0.2 * n_pairs, (res["data_dir"],
+                                                 res["outliers"], n_pairs)
+        sm = res["states"]["smoothed_x"]
+        assert np.abs(sm[:, 3:]).max() < np.pi, "pose angles ran away"
 
     warm = sweep.solve_batch_generic(model, runs, dlc_thresh=0.4,
                                      num_iters=8, warm_start=True,
