@@ -818,9 +818,11 @@ def _cached_batch_ekf_solver_generic(model, cfg, N, C, dtype_str,
                                      smoother: str = "auto"):
     """Generic-skeleton twin of _cached_batch_ekf_solver: one jitted
     vmapped EKF+RTS program per (model, config, padded shapes).
-    ``smoother`` passes through to run_ekf — the associative/sequential
-    'auto' knee (N=256) was tuned on the 75-state cheetah; large-state
-    skeletons (human: 144) shift it (docs/r05/probe_generic_ekf.txt)."""
+    ``smoother`` passes through to run_ekf — at the human skeleton's
+    144-state size the associative/sequential choice measured a tie at
+    B=96/N=100 (3.89 vs 4.07 s end-to-end, docs/r05/
+    probe_generic_ekf.txt), so the cheetah-tuned 'auto' knee (N=256)
+    stands for generic models too."""
     key = (id(model), cfg, N, C, dtype_str, qb_bytes, p0_bytes, smoother)
     entry = _GENERIC_EKF_CACHE.get(key)
     if entry is None:
