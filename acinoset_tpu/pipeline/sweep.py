@@ -424,33 +424,124 @@ def _rescue_unconverged(results, label, num_iters, resolve):
 _GENERIC_SOLVER_CACHE: Dict = {}
 
 
-def _cached_batch_solver_generic(model, cfg, dtype, uncertainty=False):
-    key = (id(model), cfg, str(dtype), uncertainty)
+def _jit_track_linreg(pix, lik, cams, marker, thresh, live):
+    """In-jit twin of the nose_track_linreg init: triangulate ONE
+    marker's track and fit the straight line by weighted normal
+    equations over finite live frames (same <2-point fallback to the
+    track mean). Returns (slope (3,), intercept (3,)) in frame units.
+
+    Runs inside the fused stage programs so the init costs zero extra
+    host<->device crossings (the standalone path paid a full (B, N, L,
+    3) triangulation download to use one marker of it)."""
+    K, D, R, T = cams
+    dtype = pix.dtype
+    Nn = pix.shape[1]
+    valid = (lik[:, :, marker:marker + 1] > thresh) & live[None, :, None]
+    track = cam_ops.triangulate_pairwise_mean(
+        pix[:, :, marker:marker + 1], valid, K, D, R, T
+    )[0][:, 0]  # (N, 3)
+    ok = jnp.all(jnp.isfinite(track), axis=1) & live
+    okf = ok.astype(dtype)
+    tr0 = jnp.where(ok[:, None], track, 0.0)
+    nok = jnp.sum(okf)
+    f = jnp.arange(Nn, dtype=dtype)
+    Sx = jnp.sum(okf * f)
+    Sxx = jnp.sum(okf * f * f)
+    Sy = jnp.sum(okf[:, None] * tr0, axis=0)
+    Sxy = jnp.sum((okf * f)[:, None] * tr0, axis=0)
+    det = nok * Sxx - Sx * Sx
+    fit = (nok >= 2.0) & (jnp.abs(det) > 1e-12)
+    slope = jnp.where(
+        fit,
+        (nok * Sxy - Sx * Sy) / jnp.where(jnp.abs(det) > 1e-12, det, 1.0),
+        0.0)
+    intercept = jnp.where(
+        fit, (Sy - slope * Sx) / jnp.maximum(nok, 1.0),
+        Sy / jnp.maximum(nok, 1.0))
+    return slope, intercept
+
+
+def _cached_batch_solver_generic(model, cfg, dtype, uncertainty=False,
+                                 with_init=None, dlc_thresh=0.4,
+                                 excl_idx=()):
+    """Fused generic stage program (r5): measurement weights, the init-
+    marker triangulation + linreg straight-line init (build.py:151-165),
+    the FTE solve, and the FK of the solution ALL run inside ONE jitted
+    program, inputs packed into one (C, N, L, 3) pixels+likelihood
+    buffer per run and outputs into one flat vector per run.
+
+    Motivation (measured): through the remote-TPU tunnel every
+    host<->device crossing costs ~0.1-0.2 s fixed (35 ms dispatch +
+    per-transfer setup, docs/r05 tunnel microbench), and the B=96
+    generic stage spent ~2.8 s/call on ~15 crossings while the solver
+    iteration count measured IN THE NOISE (iters 10 vs 30: 3.20 vs
+    2.79 s, docs/r05/probe_generic_iter_cost.txt). Batching crossings,
+    not math, is the lever; on PCIe-attached chips this is merely tidy.
+
+    ``with_init``: init-marker index for the in-jit tri+linreg init, or
+    None when the caller uploads X0 (rescue / EKF warm start). The
+    in-jit linreg is the weighted-normal-equations form of
+    nose_track_linreg (same <2-point fallback to the track mean).
+    """
+    key = (id(model), cfg, str(dtype), uncertainty, with_init,
+           float(dlc_thresh), tuple(excl_idx))
     entry = _GENERIC_SOLVER_CACHE.get(key)
     if entry is None:
         from ..models.skeleton import fk_and_jac_any
 
         h = make_h_fn_aux_generic(model.fk)
         hj = make_hj_parts_aux_generic(fk_and_jac_any(model))
+        P_ = model.n_pose
+        thresh = float(dlc_thresh)
 
-        def batched(X0, meas, w, aux, nv):
-            def one(a, b, c, x, n):
-                X, info = trajopt.fte_solve(
-                    h, a, b, c, cfg, aux=x, n_valid=n, hj_parts_fn=hj,
-                    compute_cov=uncertainty,
-                )
-                status = dict(
-                    cost=info["cost"], cost0=info["cost0"],
-                    converged=info["converged"], grad_norm=info["grad_norm"],
-                )
-                if uncertainty:
-                    status["marker_std"] = info["marker_std"]
-                    status["cov_ridge_shrink"] = info["cov_ridge_shrink"]
-                    status["cov_ridge_frac"] = info.get(
-                        "cov_ridge_frac", jnp.zeros(()))
-                return X, status
+        def solve_one(packed, X0, auxp, n):
+            K = auxp[:, :9].reshape(-1, 3, 3)
+            D = auxp[:, 9:13]
+            R = auxp[:, 13:22].reshape(-1, 3, 3)
+            T = auxp[:, 22:25]
+            pix = packed[..., :2]  # (C, N, L, 2)
+            lik = packed[..., 2]  # (C, N, L)
+            Nn = pix.shape[1]
+            fidx = jnp.arange(Nn)
+            live = fidx < n
+            w = (lik > thresh).astype(dtype) / cfg.meas_std_px
+            for mx in excl_idx:
+                w = w.at[:, :, mx].set(0.0)
+            w = w * live[None, :, None].astype(dtype)
+            meas = pix.transpose(1, 0, 2, 3)  # (N, C, L, 2)
+            wT = w.transpose(1, 0, 2)
+            if with_init is not None:
+                slope, intercept = _jit_track_linreg(
+                    pix, lik, (K, D, R, T), with_init, thresh, live)
+                f = fidx.astype(dtype)
+                X0 = jnp.zeros((Nn, P_), dtype)
+                X0 = X0.at[:, 0:3].set(
+                    f[:, None] * slope[None] + intercept[None])
+            X, info = trajopt.fte_solve(
+                h, X0, meas, wT, cfg, aux=(K, D, R, T), n_valid=n,
+                hj_parts_fn=hj, compute_cov=uncertainty,
+            )
+            pts = jax.vmap(model.fk)(X)  # (N, L, 3)
+            out = [X.reshape(-1), pts.reshape(-1),
+                   jnp.stack([info["cost"], info["cost0"],
+                              info["converged"].astype(dtype),
+                              info["grad_norm"]])]
+            if uncertainty:
+                out += [info["marker_std"].reshape(-1),
+                        info["cov_ridge_shrink"].reshape(1),
+                        info.get("cov_ridge_frac", jnp.zeros(())).reshape(1)]
+            return jnp.concatenate(out)
 
-            return jax.vmap(one)(X0, meas, w, aux, nv)
+        if with_init is not None:
+            def batched(packed, auxp, nv):
+                # X0 arg unused on this trace: solve_one builds the
+                # in-jit init before any use
+                return jax.vmap(
+                    lambda p, a, n: solve_one(p, None, a, n)
+                )(packed, auxp, nv)
+        else:
+            def batched(packed, X0, auxp, nv):
+                return jax.vmap(solve_one)(packed, X0, auxp, nv)
 
         entry = (model, jax.jit(batched))
         _GENERIC_SOLVER_CACHE[key] = entry
@@ -476,6 +567,7 @@ def solve_batch_generic(
     max_batch: Optional[int] = MAX_PROGRAM_BATCH,
     pad_frames: Optional[int] = None,
     pad_cams: Optional[int] = None,
+    _cfg_override: Optional[Dict] = None,
 ) -> List[Dict]:
     """Batched generic-skeleton FTE — the src/build.py path at sweep
     scale: N runs of any subject (humans, new animals) solve as ONE
@@ -493,9 +585,7 @@ def solve_batch_generic(
     warm-start policy note above sweep()).
     """
     from ..models.skeleton import SkeletonModel  # noqa: F401 (doc type)
-    from .ekf import nose_track_linreg
     from .generic import generic_config
-    from .tri import triangulate_runs_batch
 
     fps = runs[0].fps
     N = pad_frames or max(r.pixels.shape[1] for r in runs)
@@ -513,10 +603,16 @@ def solve_batch_generic(
                 plain_iters=plain_iters, warm_start=warm_start,
                 relinearize_every=relinearize_every,
                 max_batch=None, pad_frames=N, pad_cams=C,
+                _cfg_override=_cfg_override,
             ),
             X0_override=X0_override,
         )
     cfg = generic_config(model, fps, num_iters=num_iters, huber_delta=huber_delta)
+    if _cfg_override:
+        # probe/engineering knob: raw FteConfig field overrides
+        from dataclasses import replace as _replace0
+
+        cfg = _replace0(cfg, **_cfg_override)
     warm = resolve_warm_start(warm_start)
     if X0_override is None and warm:
         ekf_results = solve_batch_ekf_generic(
@@ -535,12 +631,19 @@ def solve_batch_generic(
         if relinearize_every != 1:
             cfg = _replace(cfg, relinearize_every=relinearize_every)
 
-    pix_b, lik_b, cams_b, n_valid, X0_b = [], [], [], [], []
+    # ONE packed upload per group — pixels+likelihood ride together as
+    # (B, C, N, L, 3) and the cameras as (B, C, 25); the init, weights,
+    # solve, and FK all happen inside the fused program (see
+    # _cached_batch_solver_generic: crossings, not math, were the cost)
+    packed_b, auxp_b, n_valid, X0_b = [], [], [], []
     for run in runs:
         pix, lik, cams, n0 = _pad_run(run, N, C)
-        pix_b.append(pix)
-        lik_b.append(lik)
-        cams_b.append(cams)
+        packed_b.append(np.concatenate([pix, lik[..., None]], axis=-1))
+        K, D, R, T = cams
+        auxp_b.append(np.concatenate([
+            K.reshape(C, 9), D.reshape(C, 4), R.reshape(C, 9),
+            np.asarray(T).reshape(C, 3),
+        ], axis=1))
         n_valid.append(n0)
     if X0_override is not None:
         for i in range(len(runs)):
@@ -549,58 +652,47 @@ def solve_batch_generic(
             X0[: len(Xw)] = Xw
             X0[len(Xw):] = Xw[-1]
             X0_b.append(X0)
-    else:
-        # init from the triangulated init_marker track (build.py:151-165)
-        # — whole group in ONE batched device program (a per-run loop
-        # pays a tunnel round-trip per run, see triangulate_runs_batch)
-        tri_b = triangulate_runs_batch(
-            np.nan_to_num(np.stack(pix_b)),
-            np.nan_to_num(np.stack(lik_b), nan=-1.0) > dlc_thresh,
-            tuple(np.stack([c[j] for c in cams_b]) for j in range(4)),
-        )
-        mi = model.markers.index(init_marker)
-        f = np.arange(N, dtype=np.float64)
-        for tri_pos in tri_b:
-            xs, xi, ys, yi, zs, zi = nose_track_linreg(tri_pos, np.arange(N), mi)
-            X0 = np.zeros((N, model.n_pose))
-            X0[:, 0] = f * xs + xi
-            X0[:, 1] = f * ys + yi
-            X0[:, 2] = f * zs + zi
-            X0_b.append(X0)
 
-    meas = np.stack(pix_b).transpose(0, 2, 1, 3, 4)  # (B, N, C, L, 2)
-    lik = np.stack(lik_b).transpose(0, 2, 1, 3)
-    w = (lik > dlc_thresh).astype(np.float64) / cfg.meas_std_px
-    for m in exclude_markers or ():
-        if m in model.markers:
-            w[:, :, :, model.markers.index(m)] = 0.0
-    for i, n0 in enumerate(n_valid):
-        w[i, n0:] = 0.0
-    aux = tuple(np.stack([c[j] for c in cams_b]) for j in range(4))
-
+    mi = model.markers.index(init_marker)
+    excl_idx = tuple(sorted(
+        model.markers.index(m) for m in (exclude_markers or ())
+        if m in model.markers
+    ))
     mesh = mesh or mesh_lib.make_mesh(model_axis=False)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     shard = NamedSharding(mesh, P("data"))
-    solver = _cached_batch_solver_generic(model, cfg, dtype, uncertainty)
-    n_dev = mesh.shape["data"]
-    (X0p, measp, wp), B0 = mesh_lib.pad_batch([np.stack(X0_b), meas, w], n_dev)
-    aux_p = []
-    for a in aux:
-        (ap,), _ = mesh_lib.pad_batch([a], n_dev)
-        aux_p.append(jax.device_put(jnp.asarray(ap, dtype), shard))
-    (nvp,), _ = mesh_lib.pad_batch([np.asarray(n_valid, np.int32)], n_dev)
-    Xb, status = solver(
-        jax.device_put(jnp.asarray(X0p, dtype), shard),
-        jax.device_put(jnp.asarray(measp, dtype), shard),
-        jax.device_put(jnp.asarray(wp, dtype), shard),
-        tuple(aux_p),
-        jax.device_put(jnp.asarray(nvp), shard),
+    solver = _cached_batch_solver_generic(
+        model, cfg, dtype, uncertainty,
+        with_init=(None if X0_override is not None else mi),
+        dlc_thresh=dlc_thresh, excl_idx=excl_idx,
     )
-    fk_batch = jax.jit(jax.vmap(jax.vmap(model.fk)))
-    positions_b = np.asarray(fk_batch(Xb[:B0]))
-    Xb = np.asarray(Xb[:B0])
-    status = {k2: np.asarray(v) for k2, v in status.items()}
+    n_dev = mesh.shape["data"]
+    (packedp, auxpp), B0 = mesh_lib.pad_batch(
+        [np.stack(packed_b), np.stack(auxp_b)], n_dev
+    )
+    (nvp,), _ = mesh_lib.pad_batch([np.asarray(n_valid, np.int32)], n_dev)
+    dev_args = [
+        jax.device_put(jnp.asarray(packedp, dtype), shard),
+        jax.device_put(jnp.asarray(auxpp, dtype), shard),
+        jax.device_put(jnp.asarray(nvp), shard),
+    ]
+    if X0_override is not None:
+        (X0p,), _ = mesh_lib.pad_batch([np.stack(X0_b)], n_dev)
+        dev_args.insert(1, jax.device_put(jnp.asarray(X0p, dtype), shard))
+    flat = np.asarray(solver(*dev_args)[:B0])  # ONE download
+    P_, L_ = model.n_pose, model.n_markers
+    sz_x, sz_p = N * P_, N * L_ * 3
+    Xb = flat[:, :sz_x].reshape(B0, N, P_)
+    positions_b = flat[:, sz_x:sz_x + sz_p].reshape(B0, N, L_, 3)
+    stat = flat[:, sz_x + sz_p:sz_x + sz_p + 4]
+    status = dict(cost=stat[:, 0], cost0=stat[:, 1],
+                  converged=stat[:, 2] > 0.5, grad_norm=stat[:, 3])
+    if uncertainty:
+        o = sz_x + sz_p + 4
+        status["marker_std"] = flat[:, o:o + sz_p].reshape(B0, N, L_, 3)
+        status["cov_ridge_shrink"] = flat[:, o + sz_p]
+        status["cov_ridge_frac"] = flat[:, o + sz_p + 1]
 
     results = []
     Ts = 1.0 / fps
@@ -815,7 +907,8 @@ _GENERIC_EKF_CACHE: Dict = {}
 
 def _cached_batch_ekf_solver_generic(model, cfg, N, C, dtype_str,
                                      qb_bytes, p0_bytes,
-                                     smoother: str = "auto"):
+                                     smoother: str = "auto",
+                                     marker_idx: int = 0):
     """Generic-skeleton twin of _cached_batch_ekf_solver: one jitted
     vmapped EKF+RTS program per (model, config, padded shapes).
     ``smoother`` passes through to run_ekf — at the human skeleton's
@@ -823,7 +916,8 @@ def _cached_batch_ekf_solver_generic(model, cfg, N, C, dtype_str,
     B=96/N=100 (3.89 vs 4.07 s end-to-end, docs/r05/
     probe_generic_ekf.txt), so the cheetah-tuned 'auto' knee (N=256)
     stands for generic models too."""
-    key = (id(model), cfg, N, C, dtype_str, qb_bytes, p0_bytes, smoother)
+    key = (id(model), cfg, N, C, dtype_str, qb_bytes, p0_bytes, smoother,
+           marker_idx)
     entry = _GENERIC_EKF_CACHE.get(key)
     if entry is None:
         from dataclasses import replace as dc_replace
@@ -831,6 +925,7 @@ def _cached_batch_ekf_solver_generic(model, cfg, N, C, dtype_str,
         from ..models.skeleton import fk_and_jac_any
         from ..solvers import ekf as ekf_solver
 
+        mi = int(marker_idx)
         dtype = jnp.float32 if "32" in dtype_str else jnp.float64
         n_pose = model.n_pose
         qb = np.frombuffer(qb_bytes, dtype=np.float64)
@@ -843,21 +938,49 @@ def _cached_batch_ekf_solver_generic(model, cfg, N, C, dtype_str,
         h_aux = make_h_fn_aux_generic(model.fk)
         hj_aux = make_hj_parts_aux_generic(fkj)
         mstd = make_marker_std_fn(fkj, n_pose)
+        thresh = float(cfg.dlc_thresh)
+        fps = 1.0 / float(cfg.dt)
 
-        def one(pix, lik, x0, auxi, mpe_i):
+        def one(packed, auxp, n, mpe_i):
+            # fused stage (see _cached_batch_solver_generic): unpack the
+            # single pixels+likelihood buffer + camera block, build the
+            # track-linreg x0 in-jit, run EKF+RTS, FK the smoothed
+            # poses, and pack every output into one flat vector
+            K = auxp[:, :9].reshape(-1, 3, 3)
+            D = auxp[:, 9:13]
+            R = auxp[:, 13:22].reshape(-1, 3, 3)
+            T = auxp[:, 22:25]
+            auxi = (K, D, R, T)
+            pix_cn = packed[..., :2]  # (C, N, L, 2)
+            lik_cn = packed[..., 2]
+            Nn = pix_cn.shape[1]
+            live = jnp.arange(Nn) < n
+            slope, intercept = _jit_track_linreg(
+                pix_cn, lik_cn, auxi, mi, thresh, live)
+            x0 = jnp.zeros(3 * n_pose, dtype)
+            x0 = x0.at[0:3].set(intercept)
+            x0 = x0.at[n_pose:n_pose + 3].set(slope * fps)
+
             def hj(p):
                 hh, Jp, Jfk = hj_aux(p, auxi)
                 J = jnp.einsum("clij,ljk->clik", Jp, Jfk)
                 return hh, J.reshape(hh.shape[0], -1)
 
             out = ekf_solver.run_ekf(
-                lambda p: h_aux(p, auxi), pix, lik,
+                lambda p: h_aux(p, auxi),
+                pix_cn.transpose(1, 0, 2, 3), lik_cn.transpose(1, 0, 2),
                 x0, jnp.asarray(P0, dtype), qb,
                 dc_replace(cfg, max_pixel_err=mpe_i),
                 hj_fn=hj, smoother=smoother,
             )
-            out["marker_std"] = jax.vmap(mstd)(out["smoothed_x"], out["smoothed_P"])
-            return out
+            pts = jax.vmap(model.fk)(out["smoothed_x"])  # (N, L, 3)
+            marker_std = jax.vmap(mstd)(out["smoothed_x"], out["smoothed_P"])
+            state_keys = ("x", "dx", "ddx",
+                          "smoothed_x", "smoothed_dx", "smoothed_ddx")
+            flat = [out[k].reshape(-1) for k in state_keys]
+            flat += [marker_std.reshape(-1), pts.reshape(-1),
+                     out["outliers"].astype(dtype).reshape(1)]
+            return jnp.concatenate(flat)
 
         entry = (model, jax.jit(jax.vmap(one)))
         _GENERIC_EKF_CACHE[key] = entry
@@ -898,8 +1021,6 @@ def solve_batch_ekf_generic(
     Under-weighting well-conditioned rigs is the cheap direction —
     tighten ``meas_std_px`` only with >2 cameras or a tuned skeleton."""
     from ..solvers import ekf as ekf_solver
-    from .ekf import nose_track_linreg
-    from .tri import triangulate_runs_batch
 
     fps = runs[0].fps
     N = pad_frames or max(r.pixels.shape[1] for r in runs)
@@ -911,7 +1032,8 @@ def solve_batch_ekf_generic(
                 model, chunk, dlc_thresh, dtype=dtype,
                 init_marker=init_marker, meas_std_px=meas_std_px,
                 pos_process_std=pos_process_std,
-                ang_process_std=ang_process_std, mesh=mesh,
+                ang_process_std=ang_process_std,
+                ang_prior_std=ang_prior_std, mesh=mesh,
                 max_batch=None, pad_frames=N, pad_cams=C,
                 smoother=smoother,
             ),
@@ -932,75 +1054,59 @@ def solve_batch_ekf_generic(
         np.ones(3) * 9.0, p_ang * 25.0,              # acceleration
     ]))
 
-    pix_b, lik_b, aux_b, n_valid = [], [], [], []
-    pix_cn, lik_cn = [], []  # (C, N, ...) layout for the batched init
+    # ONE packed upload per group + ONE flat download (the fused-stage
+    # scheme of _cached_batch_solver_generic: through the remote tunnel
+    # each host<->device crossing costs ~0.1-0.2 s fixed — the previous
+    # structure paid ~14 of them per call around a ~1 s device program)
     mi = model.markers.index(init_marker)
+    packed_b, auxp_b, n_valid = [], [], []
     for run in runs:
         pix, lik, cams, n0 = _pad_run(run, N, C)
-        pix_b.append(pix.transpose(1, 0, 2, 3))
-        lik_b.append(lik.transpose(1, 0, 2))
-        pix_cn.append(pix)
-        lik_cn.append(lik)
-        aux_b.append(cams)
+        packed_b.append(np.concatenate([pix, lik[..., None]], axis=-1))
+        K, D, R, T = cams
+        auxp_b.append(np.concatenate([
+            K.reshape(C, 9), D.reshape(C, 4), R.reshape(C, 9),
+            np.asarray(T).reshape(C, 3),
+        ], axis=1))
         n_valid.append(n0)
-
-    aux = tuple(np.stack([c[j] for c in aux_b]) for j in range(4))
-    # init_marker linreg track (the generic FTE's own init) — whole
-    # group triangulated in ONE batched device program
-    tri_b = triangulate_runs_batch(
-        np.nan_to_num(np.stack(pix_cn)),
-        np.nan_to_num(np.stack(lik_cn), nan=-1.0) > dlc_thresh,
-        aux,
-    )
-    x0_b = []
-    for tri_pos in tri_b:
-        xs, xi, ys, yi, zs, zi = nose_track_linreg(tri_pos, np.arange(N), mi)
-        x0 = np.zeros(3 * n_pose)
-        x0[:3] = (xi, yi, zi)
-        x0[n_pose : n_pose + 3] = np.asarray((xs, ys, zs)) * fps
-        x0_b.append(x0)
 
     mesh = mesh or mesh_lib.make_mesh(model_axis=False)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     shard = NamedSharding(mesh, P("data"))
     n_dev = mesh.shape["data"]
-    (pixp, likp, x0p, mpep), B0 = mesh_lib.pad_batch(
-        [np.stack(pix_b), np.stack(lik_b), np.stack(x0_b), mpe], n_dev
+    (packedp, auxpp, mpep), B0 = mesh_lib.pad_batch(
+        [np.stack(packed_b), np.stack(auxp_b), mpe], n_dev
     )
-    aux_p = []
-    for a in aux:
-        (ap,), _ = mesh_lib.pad_batch([a], n_dev)
-        aux_p.append(jax.device_put(jnp.asarray(ap, dtype), shard))
-    out = _cached_batch_ekf_solver_generic(
+    (nvp,), _ = mesh_lib.pad_batch([np.asarray(n_valid, np.int32)], n_dev)
+    flat = np.asarray(_cached_batch_ekf_solver_generic(
         model, cfg, N, C, str(dtype), qb.tobytes(), P0.tobytes(),
-        smoother=smoother,
+        smoother=smoother, marker_idx=mi,
     )(
-        jax.device_put(jnp.asarray(pixp, dtype), shard),
-        jax.device_put(jnp.asarray(likp, dtype), shard),
-        jax.device_put(jnp.asarray(x0p, dtype), shard),
-        tuple(aux_p),
+        jax.device_put(jnp.asarray(packedp, dtype), shard),
+        jax.device_put(jnp.asarray(auxpp, dtype), shard),
+        jax.device_put(jnp.asarray(nvp), shard),
         jax.device_put(jnp.asarray(mpep, dtype), shard),
-    )
-    out = {k2: v[:B0] for k2, v in out.items()}
-    fk_batch = jax.jit(jax.vmap(jax.vmap(model.fk)))
-    pos_all = np.asarray(fk_batch(jnp.asarray(out["smoothed_x"], dtype)))
-    # ONE device->host transfer per key (see solve_batch_ekf: per-run
-    # sliced transfers paid ~600 tunnel round-trips at B=96 — the 144-
-    # state human stage measured 51-66 s end-to-end while the device
-    # program is ~1 s, docs/r05/probe_generic_ekf.txt)
-    host = {k2: np.asarray(v) for k2, v in out.items()
-            if k2 not in ("P", "smoothed_P")}
+    )[:B0])
+    P_, L_ = n_pose, model.n_markers
+    sz_s, sz_m = N * P_, N * L_ * 3
+    state_keys = ("x", "dx", "ddx", "smoothed_x", "smoothed_dx",
+                  "smoothed_ddx")
+    host = {k2: flat[:, j * sz_s:(j + 1) * sz_s].reshape(B0, N, P_)
+            for j, k2 in enumerate(state_keys)}
+    o = 6 * sz_s
+    host["marker_std"] = flat[:, o:o + sz_m].reshape(B0, N, L_, 3)
+    pos_all = flat[:, o + sz_m:o + 2 * sz_m].reshape(B0, N, L_, 3)
+    outliers = flat[:, o + 2 * sz_m]
     results = []
     for i, run in enumerate(runs):
         n0 = n_valid[i]
-        states = {k2: (v[i][:n0] if v.ndim > 1 else v[i])
-                  for k2, v in host.items() if k2 != "outliers"}
+        states = {k2: v[i][:n0] for k2, v in host.items()}
         results.append(dict(
             data_dir=run.data_dir, positions=pos_all[i, :n0].astype(np.float64),
             states=states, start_frame=run.start_frame,
             scene_fpath=run.scene_fpath, max_pixel_err=float(mpe[i]),
-            outliers=int(host["outliers"][i]),
+            outliers=int(outliers[i]),
         ))
     return results
 
