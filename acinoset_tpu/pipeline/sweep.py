@@ -29,7 +29,7 @@ from ..parallel import mesh as mesh_lib
 from ..solvers import trajopt
 from . import app
 from . import data as data_io
-from .fte import default_config, initial_trajectory_batch
+from .fte import default_config
 
 
 @dataclass
@@ -138,33 +138,78 @@ def _solve_chunked(runs, max_batch, solve_chunk, X0_override=None):
 _SOLVER_CACHE: Dict = {}
 
 
-def _cached_batch_solver(cfg, dtype, uncertainty=False):
-    key = (cfg, str(dtype), uncertainty)
+def _cached_batch_solver(cfg, dtype, uncertainty=False, with_init=False,
+                         dlc_thresh=0.0):
+    """Fused cheetah FTE stage program (r5, same scheme as the generic
+    twin _cached_batch_solver_generic): one packed (C, N, L, 3)
+    pixels+likelihood upload + one (C, 25) camera block per run, the
+    TRI+linreg cold init (nose line + psi_0, hold-last-valid through
+    padding) computed in-jit when ``with_init``, the FK of the solution
+    inside, and every output in ONE flat download — each host<->device
+    crossing costs ~0.1-0.2 s fixed through the remote tunnel."""
+    key = (cfg, str(dtype), uncertainty, with_init, float(dlc_thresh))
     if key not in _SOLVER_CACHE:
         h = _h_fn_aux(dtype)
 
         from .ekf import hj_parts_aux
 
-        def batched(X0, meas, w, aux, nv):
-            def one(a, b, c, x, n):
-                X, info = trajopt.fte_solve(
-                    h, a, b, c, cfg, aux=x, n_valid=n, hj_parts_fn=hj_parts_aux,
-                    compute_cov=uncertainty,
-                )
-                # per-run solver status rides out of the jit alongside X
-                # (the reference surfaced IPOPT's termination status)
-                status = dict(
-                    cost=info["cost"], cost0=info["cost0"],
-                    converged=info["converged"], grad_norm=info["grad_norm"],
-                )
-                if uncertainty:
-                    status["marker_std"] = info["marker_std"]
-                    status["cov_ridge_shrink"] = info["cov_ridge_shrink"]
-                    status["cov_ridge_frac"] = info.get(
-                        "cov_ridge_frac", jnp.zeros(()))
-                return X, status
+        P_ = cheetah.N_ACTIVE
+        L_ = len(cheetah.get_markers())
+        nose = cheetah.get_markers().index("nose")
+        pp = cheetah.get_pose_params()
+        line_cols = jnp.asarray([pp["x_0"], pp["y_0"], pp["z_0"]])
+        psi_col = pp["psi_0"]
+        thresh = float(dlc_thresh)
 
-            return jax.vmap(one)(X0, meas, w, aux, nv)
+        def solve_one(packed, X0, auxp, n):
+            K = auxp[:, :9].reshape(-1, 3, 3)
+            D = auxp[:, 9:13]
+            R = auxp[:, 13:22].reshape(-1, 3, 3)
+            T = auxp[:, 22:25]
+            pix = packed[..., :2]  # (C, N, L, 2)
+            lik = packed[..., 2]
+            Nn = pix.shape[1]
+            fidx = jnp.arange(Nn)
+            live = fidx < n
+            w = (lik > thresh).astype(dtype) / cfg.meas_std_px
+            w = w * live[None, :, None].astype(dtype)
+            meas = pix.transpose(1, 0, 2, 3)
+            wT = w.transpose(1, 0, 2)
+            if with_init:
+                slope, intercept = _jit_track_linreg(
+                    pix, lik, (K, D, R, T), nose, thresh, live)
+                # hold the last valid frame through padding (the
+                # host-side init pinned X0[n0:] = X0[n0-1])
+                f_eff = jnp.minimum(fidx, n - 1).astype(dtype)
+                X0 = jnp.zeros((Nn, P_), dtype)
+                X0 = X0.at[:, line_cols].set(
+                    f_eff[:, None] * slope[None] + intercept[None])
+                X0 = X0.at[:, psi_col].set(jnp.arctan2(slope[1], slope[0]))
+            X, info = trajopt.fte_solve(
+                h, X0, meas, wT, cfg, aux=(K, D, R, T), n_valid=n,
+                hj_parts_fn=hj_parts_aux, compute_cov=uncertainty,
+            )
+            pts = jax.vmap(cheetah.fk25)(X)  # (N, L, 3)
+            # per-run solver status rides out of the jit alongside X
+            # (the reference surfaced IPOPT's termination status)
+            out = [X.reshape(-1), pts.reshape(-1),
+                   jnp.stack([info["cost"], info["cost0"],
+                              info["converged"].astype(dtype),
+                              info["grad_norm"]])]
+            if uncertainty:
+                out += [info["marker_std"].reshape(-1),
+                        info["cov_ridge_shrink"].reshape(1),
+                        info.get("cov_ridge_frac", jnp.zeros(())).reshape(1)]
+            return jnp.concatenate(out)
+
+        if with_init:
+            def batched(packed, auxp, nv):
+                return jax.vmap(
+                    lambda p, a, n: solve_one(p, None, a, n)
+                )(packed, auxp, nv)
+        else:
+            def batched(packed, X0, auxp, nv):
+                return jax.vmap(solve_one)(packed, X0, auxp, nv)
 
         _SOLVER_CACHE[key] = jax.jit(batched)
     return _SOLVER_CACHE[key]
@@ -251,72 +296,65 @@ def solve_batch(
     if plain_iters is not None:
         cfg = dc_replace(cfg, plain_iters=plain_iters)
 
-    pix_b, lik_b, cams_b, n_valid = [], [], [], []
+    # ONE packed upload per group + ONE flat download (fused-stage
+    # scheme, see _cached_batch_solver: crossings, not math, dominate
+    # batch-stage wall time through the remote tunnel)
+    packed_b, auxp_b, n_valid, X0_b = [], [], [], []
     for run in runs:
         pix, lik, cams, n0 = _pad_run(run, N, C)
-        pix_b.append(pix)
-        lik_b.append(lik)
-        cams_b.append(cams)
+        packed_b.append(np.concatenate([pix, lik[..., None]], axis=-1))
+        K, D, R, T = cams
+        auxp_b.append(np.concatenate([
+            K.reshape(C, 9), D.reshape(C, 4), R.reshape(C, 9),
+            np.asarray(T).reshape(C, 3),
+        ], axis=1))
         n_valid.append(n0)
-    aux = tuple(np.stack([c[j] for c in cams_b]) for j in range(4))  # each (B, C, ...)
-
-    X0_b = []
-    if X0_override is None:
-        # initialize the whole group in ONE batched device program on
-        # the shared PADDED shapes (a per-run initial_trajectory loop
-        # pays one tunnel round-trip per run on a remote-attached TPU —
-        # measured 2 s/run at N=300, docs/r04/warm_n300.txt)
-        X0_cold = initial_trajectory_batch(
-            np.stack(pix_b), np.stack(lik_b), aux, np.arange(N), dlc_thresh
-        )
-    for i, n0 in enumerate(n_valid):
-        if X0_override is not None:
+    if X0_override is not None:
+        for i in range(len(runs)):
             Xw = np.asarray(X0_override[i], np.float64)
             X0 = np.zeros((N, Xw.shape[1]))
             X0[: len(Xw)] = Xw
             X0[len(Xw):] = Xw[-1]  # hold the last frame through padding
-        else:
-            X0 = X0_cold[i]
-            X0[n0:] = X0[n0 - 1]  # hold the last valid frame through padding
-        X0_b.append(X0)
-
-    B = len(runs)
-    meas = np.stack(pix_b).transpose(0, 2, 1, 3, 4)  # (B, N, C, L, 2)
-    lik = np.stack(lik_b).transpose(0, 2, 1, 3)  # (B, N, C, L)
-    w = (lik > dlc_thresh).astype(np.float64) / cfg.meas_std_px
-    # zero weight on padded frames
-    for i, n0 in enumerate(n_valid):
-        w[i, n0:] = 0.0
+            X0_b.append(X0)
 
     mesh = mesh or mesh_lib.make_mesh(model_axis=False)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     shard = NamedSharding(mesh, P("data"))
-    solver = _cached_batch_solver(cfg, dtype, uncertainty)
+    solver = _cached_batch_solver(
+        cfg, dtype, uncertainty, with_init=(X0_override is None),
+        dlc_thresh=dlc_thresh,
+    )
 
     # pad batch to the data-axis size
     n_dev = mesh.shape["data"]
-    (X0p, measp, wp), B0 = mesh_lib.pad_batch(
-        [np.stack(X0_b), meas, w], n_dev
+    (packedp, auxpp), B0 = mesh_lib.pad_batch(
+        [np.stack(packed_b), np.stack(auxp_b)], n_dev
     )
-    aux_p = []
-    for a in aux:
-        (ap,), _ = mesh_lib.pad_batch([a], n_dev)
-        aux_p.append(jax.device_put(jnp.asarray(ap, dtype), shard))
     (nvp,), _ = mesh_lib.pad_batch([np.asarray(n_valid, np.int32)], n_dev)
-    Xb, status = solver(
-        jax.device_put(jnp.asarray(X0p, dtype), shard),
-        jax.device_put(jnp.asarray(measp, dtype), shard),
-        jax.device_put(jnp.asarray(wp, dtype), shard),
-        tuple(aux_p),
+    dev_args = [
+        jax.device_put(jnp.asarray(packedp, dtype), shard),
+        jax.device_put(jnp.asarray(auxpp, dtype), shard),
         jax.device_put(jnp.asarray(nvp), shard),
-    )
-    # batched FK for all runs in one device program (eager per-run calls
-    # pay per-op dispatch through remote-attached accelerators)
-    positions_b = np.asarray(_cached_fk_batch()(Xb[:B0]))
-    Xb = np.asarray(Xb[:B0])
-    status = {k2: np.asarray(v) for k2, v in status.items()}
+    ]
+    if X0_override is not None:
+        (X0p,), _ = mesh_lib.pad_batch([np.stack(X0_b)], n_dev)
+        dev_args.insert(1, jax.device_put(jnp.asarray(X0p, dtype), shard))
+    flat = np.asarray(solver(*dev_args)[:B0])  # ONE download
+    P_ = cheetah.N_ACTIVE
+    L_ = len(cheetah.get_markers())
+    sz_x, sz_p = N * P_, N * L_ * 3
+    Xb = flat[:, :sz_x].reshape(B0, N, P_)
+    positions_b = flat[:, sz_x:sz_x + sz_p].reshape(B0, N, L_, 3)
+    stat = flat[:, sz_x + sz_p:sz_x + sz_p + 4]
+    status = dict(cost=stat[:, 0], cost0=stat[:, 1],
+                  converged=stat[:, 2] > 0.5, grad_norm=stat[:, 3])
+    if uncertainty:
+        o = sz_x + sz_p + 4
+        status["marker_std"] = flat[:, o:o + sz_p].reshape(B0, N, L_, 3)
+        status["cov_ridge_shrink"] = flat[:, o + sz_p]
+        status["cov_ridge_frac"] = flat[:, o + sz_p + 1]
 
     results = []
     Ts = 1.0 / fps
@@ -747,10 +785,12 @@ _EKF_SOLVER_CACHE: Dict = {}
 
 
 def _cached_batch_ekf_solver(cfg, N, C, dtype_str, p0_bytes):
-    """Jitted batched EKF solver, cached by (config, padded shapes) so
-    repeated sweep() calls in one process re-trace nothing (the FTE
-    stage has the same cache; re-jitting a fresh closure per call would
-    recompile the whole scan+smoother program)."""
+    """Fused cheetah EKF stage program, cached by (config, padded
+    shapes) so repeated sweep() calls in one process re-trace nothing.
+    Same fused-stage scheme as _cached_batch_solver: one packed
+    pixels+likelihood upload, the TRI+linreg x0 (first-frame pose +
+    straight-line velocity) in-jit, EKF+RTS + marker_std + FK inside,
+    ONE flat download."""
     key = (cfg, N, C, dtype_str, p0_bytes)
     if key not in _EKF_SOLVER_CACHE:
         from dataclasses import replace as dc_replace
@@ -759,20 +799,44 @@ def _cached_batch_ekf_solver(cfg, N, C, dtype_str, p0_bytes):
         from .ekf import hj_parts_aux, make_marker_std_fn
 
         dtype = jnp.float32 if "32" in dtype_str else jnp.float64
-        n_states = 3 * cheetah.N_ACTIVE
+        n_pose = cheetah.N_ACTIVE
+        n_states = 3 * n_pose
         assert len(p0_bytes) == n_states * n_states * 8, len(p0_bytes)
         P0 = np.frombuffer(p0_bytes, dtype=np.float64).reshape(n_states, n_states)
         h_aux = _h_fn_aux(dtype)
         mstd = make_marker_std_fn(cheetah.fk25_and_jac, cheetah.N_ACTIVE)
+        nose = cheetah.get_markers().index("nose")
+        pp = cheetah.get_pose_params()
+        line_cols = jnp.asarray([pp["x_0"], pp["y_0"], pp["z_0"]])
+        psi_col = pp["psi_0"]
+        thresh = float(cfg.dlc_thresh)
+        fps = 1.0 / float(cfg.dt)
 
-        def one(pix, lik, x0, auxi, mpe_i):
+        def one(packed, auxp, n, mpe_i):
+            K = auxp[:, :9].reshape(-1, 3, 3)
+            D = auxp[:, 9:13]
+            R = auxp[:, 13:22].reshape(-1, 3, 3)
+            T = auxp[:, 22:25]
+            auxi = (K, D, R, T)
+            pix_cn = packed[..., :2]  # (C, N, L, 2)
+            lik_cn = packed[..., 2]
+            Nn = pix_cn.shape[1]
+            live = jnp.arange(Nn) < n
+            slope, intercept = _jit_track_linreg(
+                pix_cn, lik_cn, auxi, nose, thresh, live)
+            x0 = jnp.zeros(n_states, dtype)
+            x0 = x0.at[line_cols].set(intercept)
+            x0 = x0.at[psi_col].set(jnp.arctan2(slope[1], slope[0]))
+            x0 = x0.at[n_pose + line_cols].set(slope * fps)
+
             def hj(p):
                 hh, Jp, Jfk = hj_parts_aux(p, auxi)
                 J = jnp.einsum("clij,ljk->clik", Jp, Jfk)
                 return hh, J.reshape(hh.shape[0], -1)
 
             out = ekf_solver.run_ekf(
-                lambda p: h_aux(p, auxi), pix, lik,
+                lambda p: h_aux(p, auxi),
+                pix_cn.transpose(1, 0, 2, 3), lik_cn.transpose(1, 0, 2),
                 x0, jnp.asarray(P0, dtype), cheetah.EKF_QB,
                 dc_replace(cfg, max_pixel_err=mpe_i),
                 hj_fn=hj,
@@ -780,8 +844,14 @@ def _cached_batch_ekf_solver(cfg, N, C, dtype_str, p0_bytes):
             # EKF-stage error bars inside the same jitted program (the
             # single-run stage's always-on contract; a separate program
             # would round-trip smoothed_P and re-compile per call)
-            out["marker_std"] = jax.vmap(mstd)(out["smoothed_x"], out["smoothed_P"])
-            return out
+            marker_std = jax.vmap(mstd)(out["smoothed_x"], out["smoothed_P"])
+            pts = jax.vmap(cheetah.fk25)(out["smoothed_x"])
+            state_keys = ("x", "dx", "ddx",
+                          "smoothed_x", "smoothed_dx", "smoothed_ddx")
+            flat = [out[k].reshape(-1) for k in state_keys]
+            flat += [marker_std.reshape(-1), pts.reshape(-1),
+                     out["outliers"].astype(dtype).reshape(1)]
+            return jnp.concatenate(flat)
 
         _EKF_SOLVER_CACHE[key] = jax.jit(jax.vmap(one))
     return _EKF_SOLVER_CACHE[key]
@@ -830,66 +900,51 @@ def solve_batch_ekf(
         np.ones(3) * 9.0, np.concatenate([p_ang[:10] * 9.0, p_ang[10:] * 25.0]),
     ]))
 
-    pix_b, lik_b, aux_b, n_valid = [], [], [], []
-    pix_cn = []  # (C, N, ...) layout for the batched init
+    # ONE packed upload per group + ONE flat download (fused-stage
+    # scheme, see _cached_batch_ekf_solver; the x0 init now runs in-jit
+    # so the batched triangulation program + its download are gone too)
+    packed_b, auxp_b, n_valid = [], [], []
     for run in runs:
         pix, lik, cams, n0 = _pad_run(run, N, C)
-        pix_b.append(pix.transpose(1, 0, 2, 3))
-        lik_b.append(lik.transpose(1, 0, 2))
-        pix_cn.append((pix, lik))
-        aux_b.append(cams)
+        packed_b.append(np.concatenate([pix, lik[..., None]], axis=-1))
+        K, D, R, T = cams
+        auxp_b.append(np.concatenate([
+            K.reshape(C, 9), D.reshape(C, 4), R.reshape(C, 9),
+            np.asarray(T).reshape(C, 3),
+        ], axis=1))
         n_valid.append(n0)
-
-    aux = tuple(np.stack([c[j] for c in aux_b]) for j in range(4))
-    # initialize the whole group in ONE batched device program (the
-    # per-run loop paid a tunnel round-trip per run: 196 s at B=96/
-    # N=300 where the filter itself costs ~1 s, docs/r04/warm_n300.txt)
-    X0_cold = initial_trajectory_batch(
-        np.stack([p for p, _ in pix_cn]), np.stack([l for _, l in pix_cn]),
-        aux, np.arange(N), dlc_thresh,
-    )
-    x0_b = []
-    for X0 in X0_cold:
-        x0 = np.zeros(3 * n_pose)
-        x0[:n_pose] = X0[0]
-        if len(X0) > 1:  # forward velocity from the straight-line init
-            x0[n_pose : n_pose + 3] = (X0[1, :3] - X0[0, :3]) * fps
-        x0_b.append(x0)
 
     mesh = mesh or mesh_lib.make_mesh(model_axis=False)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     shard = NamedSharding(mesh, P("data"))
     n_dev = mesh.shape["data"]
-    (pixp, likp, x0p, mpep), B0 = mesh_lib.pad_batch(
-        [np.stack(pix_b), np.stack(lik_b), np.stack(x0_b), mpe], n_dev
+    (packedp, auxpp, mpep), B0 = mesh_lib.pad_batch(
+        [np.stack(packed_b), np.stack(auxp_b), mpe], n_dev
     )
-    aux_p = []
-    for a in aux:
-        (ap,), _ = mesh_lib.pad_batch([a], n_dev)
-        aux_p.append(jax.device_put(jnp.asarray(ap, dtype), shard))
-    out = _cached_batch_ekf_solver(cfg, N, C, str(dtype), P0.tobytes())(
-        jax.device_put(jnp.asarray(pixp, dtype), shard),
-        jax.device_put(jnp.asarray(likp, dtype), shard),
-        jax.device_put(jnp.asarray(x0p, dtype), shard),
-        tuple(aux_p),
+    (nvp,), _ = mesh_lib.pad_batch([np.asarray(n_valid, np.int32)], n_dev)
+    flat = np.asarray(_cached_batch_ekf_solver(
+        cfg, N, C, str(dtype), P0.tobytes()
+    )(
+        jax.device_put(jnp.asarray(packedp, dtype), shard),
+        jax.device_put(jnp.asarray(auxpp, dtype), shard),
+        jax.device_put(jnp.asarray(nvp), shard),
         jax.device_put(jnp.asarray(mpep, dtype), shard),
-    )
-    out = {k2: v[:B0] for k2, v in out.items()}
-    # ONE device->host transfer per key + ONE batched FK program: the
-    # per-run sliced np.asarray / per-run vmap(fk25) calls this replaces
-    # each paid a full tunnel round-trip (~7 keys x B=96 ~ 600 of them
-    # -> tens of seconds through the remote TPU while the EKF program
-    # itself runs 0.15 s — the same host-loop class as the r4 batched-
-    # triangulation fix, tri.triangulate_runs_batch).
-    pos_all = np.asarray(_cached_fk_batch()(out["smoothed_x"]))
-    host = {k2: np.asarray(v) for k2, v in out.items()
-            if k2 not in ("P", "smoothed_P")}
+    )[:B0])
+    L_ = len(cheetah.get_markers())
+    sz_s, sz_m = N * n_pose, N * L_ * 3
+    state_keys = ("x", "dx", "ddx", "smoothed_x", "smoothed_dx",
+                  "smoothed_ddx")
+    host = {k2: flat[:, j * sz_s:(j + 1) * sz_s].reshape(B0, N, n_pose)
+            for j, k2 in enumerate(state_keys)}
+    o = 6 * sz_s
+    host["marker_std"] = flat[:, o:o + sz_m].reshape(B0, N, L_, 3)
+    pos_all = flat[:, o + sz_m:o + 2 * sz_m].reshape(B0, N, L_, 3)
+    outliers = flat[:, o + 2 * sz_m]
     results = []
     for i, run in enumerate(runs):
         n0 = n_valid[i]
-        states = {k2: (v[i][:n0] if v.ndim > 1 else v[i])
-                  for k2, v in host.items() if k2 != "outliers"}
+        states = {k2: v[i][:n0] for k2, v in host.items()}
         results.append(dict(data_dir=run.data_dir,
                             positions=pos_all[i, :n0].astype(np.float64),
                             states=states,
@@ -898,7 +953,7 @@ def solve_batch_ekf(
                             # per-run filter status (gated-pair count —
                             # the EKF's failure-detection signal, parity
                             # with the FTE stage's converged/grad_norm)
-                            outliers=int(host["outliers"][i])))
+                            outliers=int(outliers[i])))
     return results
 
 
@@ -909,13 +964,14 @@ def _cached_batch_ekf_solver_generic(model, cfg, N, C, dtype_str,
                                      qb_bytes, p0_bytes,
                                      smoother: str = "auto",
                                      marker_idx: int = 0):
-    """Generic-skeleton twin of _cached_batch_ekf_solver: one jitted
-    vmapped EKF+RTS program per (model, config, padded shapes).
-    ``smoother`` passes through to run_ekf — at the human skeleton's
-    144-state size the associative/sequential choice measured a tie at
-    B=96/N=100 (3.89 vs 4.07 s end-to-end, docs/r05/
-    probe_generic_ekf.txt), so the cheetah-tuned 'auto' knee (N=256)
-    stands for generic models too."""
+    """Generic-skeleton twin of _cached_batch_ekf_solver: one fused
+    jitted vmapped stage program per (model, config, padded shapes).
+    ``smoother`` passes through to run_ekf — once the stage was fused
+    (transfer overhead out of the way) the associative form measured
+    1.48x faster than sequential at the human's 144-state size
+    (0.90 vs 1.32 s at B=96/N=100, docs/r05/probe_generic_ekf_fused.
+    txt; the pre-fuse 'tie' was transfer-masked), so the cheetah-tuned
+    'auto' knee (associative <= 256 frames) stands for generic models."""
     key = (id(model), cfg, N, C, dtype_str, qb_bytes, p0_bytes, smoother,
            marker_idx)
     entry = _GENERIC_EKF_CACHE.get(key)

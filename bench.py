@@ -172,20 +172,23 @@ def main():
             np.ones(3) * 25.0, p_ang * 9.0,
             np.ones(3) * 9.0, np.concatenate([p_ang[:10] * 9.0, p_ang[10:] * 25.0]),
         ]))
-        x0e = np.zeros(3 * n_pose)
-        x0e[:n_pose] = X0[0]
-        if len(X0) > 1:
-            x0e[n_pose : n_pose + 3] = (X0[1, :3] - X0[0, :3]) * 90.0
-        aux1 = (np.stack([k_arr] * B), np.stack([d_arr.reshape(-1, 4)] * B),
-                np.stack([r_arr] * B), np.stack([np.asarray(t_arr).reshape(-1, 3)] * B))
+        # fused stage program (r5): packed pixels+likelihood + camera
+        # block in, ONE flat buffer out; the nose-linreg x0 runs in-jit
+        packed1 = np.concatenate(
+            [pixels, likelihood[..., None]], axis=-1)  # (C, N, L, 3)
+        auxp1 = np.concatenate([
+            np.asarray(k_arr).reshape(6, 9),
+            np.asarray(d_arr).reshape(6, -1)[:, :4],
+            np.asarray(r_arr).reshape(6, 9),
+            np.asarray(t_arr).reshape(6, 3),
+        ], axis=1)  # (C, 25)
         ekf_solver_fn = sweep_lib._cached_batch_ekf_solver(
             ecfg, N, 6, str(dtype), P0.tobytes()
         )
         ekf_args = (
-            jnp.asarray(np.broadcast_to(pixels.transpose(1, 0, 2, 3), (B, N, 6, 20, 2)), dtype),
-            jnp.asarray(np.broadcast_to(lik_t, (B, N, 6, 20)), dtype),
-            jnp.asarray(np.stack([x0e] * B), dtype),
-            tuple(jnp.asarray(a, dtype) for a in aux1),
+            jnp.asarray(np.broadcast_to(packed1, (B, 6, N, 20, 3)), dtype),
+            jnp.asarray(np.broadcast_to(auxp1, (B, 6, 25)), dtype),
+            jnp.asarray(np.full(B, N, np.int32)),
             jnp.asarray(np.full(B, float(res[0])), dtype),
         )
         out = ekf_solver_fn(*ekf_args)  # compile + warmup
@@ -193,7 +196,9 @@ def main():
         t_ekf = _best_time(
             lambda: jax.block_until_ready(ekf_solver_fn(*ekf_args)), repeats
         )
-        X0b = np.asarray(out["smoothed_x"], np.float64)
+        sz_s = N * n_pose
+        X0b = np.asarray(
+            out[:, 3 * sz_s:4 * sz_s], np.float64).reshape(B, N, n_pose)
         extra["ekf_sec"] = round(t_ekf, 4)
 
     X0s, meass, ws = mesh_lib.shard_batch(
@@ -314,13 +319,24 @@ def main():
                 reps = reps + rngm.normal(scale=1e-3, size=reps.shape)
             aux.append(reps)
         nv = rngm.integers(int(0.7 * N), N + 1, size=B).astype(np.int32)
-        wmix = wb.copy()
-        for i in range(B):
-            wmix[i, nv[i]:] = 0.0
-        msolver = sweep_lib._cached_batch_solver(cfg, dtype)
+        # fused stage: the program masks frames >= nv itself; packed
+        # pixels+likelihood + per-run camera blocks (jittered T) in,
+        # X0 uploaded (the with_init=False override mode)
+        packedm = np.concatenate(
+            [pixels, likelihood[..., None]], axis=-1)  # (C, N, L, 3)
+        auxpm = np.repeat(np.concatenate([
+            np.asarray(k_arr).reshape(6, 9),
+            np.asarray(d_arr).reshape(6, -1)[:, :4],
+            np.asarray(r_arr).reshape(6, 9),
+            np.asarray(t_arr).reshape(6, 3),
+        ], axis=1)[None], B, axis=0)  # (B, C, 25)
+        auxpm[:, :, 22:25] = aux[3]  # the per-run jittered camera centers
+        msolver = sweep_lib._cached_batch_solver(
+            cfg, dtype, with_init=False, dlc_thresh=0.5)
         margs = (
-            jnp.asarray(X0b, dtype), jnp.asarray(measb, dtype),
-            jnp.asarray(wmix, dtype), tuple(jnp.asarray(a, dtype) for a in aux),
+            jnp.asarray(np.broadcast_to(packedm, (B, 6, N, 20, 3)), dtype),
+            jnp.asarray(X0b, dtype),
+            jnp.asarray(auxpm, dtype),
             jnp.asarray(nv),
         )
         mout = msolver(*margs)

@@ -25,7 +25,6 @@ def main():
 
     from acinoset_tpu.models import cheetah
     from acinoset_tpu.pipeline import sweep as sweep_lib
-    from acinoset_tpu.pipeline.fte import initial_trajectory
     from acinoset_tpu.solvers import ekf as ekf_solver
     from acinoset_tpu.utils import synthetic
 
@@ -51,22 +50,20 @@ def main():
         np.ones(3) * 25.0, p_ang * 9.0,
         np.ones(3) * 9.0, np.concatenate([p_ang[:10] * 9.0, p_ang[10:] * 25.0]),
     ]))
-    X0 = initial_trajectory(
-        pixels, likelihood, k_arr, d_arr, r_arr, t_arr, np.arange(N), 0.5
-    )
-    x0e = np.zeros(3 * n_pose)
-    x0e[:n_pose] = X0[0]
-    x0e[n_pose : n_pose + 3] = (X0[1, :3] - X0[0, :3]) * 90.0
-    aux1 = (np.stack([k_arr] * B), np.stack([d_arr.reshape(-1, 4)] * B),
-            np.stack([r_arr] * B), np.stack([np.asarray(t_arr).reshape(-1, 3)] * B))
+    # fused stage signature (r5): packed pixels+likelihood + camera
+    # blocks; the nose-linreg x0 runs in-jit
+    packed1 = np.concatenate([pixels, likelihood[..., None]], axis=-1)
+    auxp1 = np.concatenate([
+        np.asarray(k_arr).reshape(6, 9),
+        np.asarray(d_arr).reshape(6, -1)[:, :4],
+        np.asarray(r_arr).reshape(6, 9),
+        np.asarray(t_arr).reshape(6, 3),
+    ], axis=1)
     fn = sweep_lib._cached_batch_ekf_solver(ecfg, N, 6, str(dtype), P0.tobytes())
     args = (
-        jnp.asarray(np.broadcast_to(
-            pixels.transpose(1, 0, 2, 3), (B, N, 6, 20, 2)), dtype),
-        jnp.asarray(np.broadcast_to(likelihood.transpose(1, 0, 2), (B, N, 6, 20)),
-                    dtype),
-        jnp.asarray(np.stack([x0e] * B), dtype),
-        tuple(jnp.asarray(a, dtype) for a in aux1),
+        jnp.asarray(np.broadcast_to(packed1, (B, 6, N, 20, 3)), dtype),
+        jnp.asarray(np.broadcast_to(auxp1, (B, 6, 25)), dtype),
+        jnp.asarray(np.full(B, N, np.int32)),
         jnp.asarray(np.full(B, float(res[0])), dtype),
     )
     t0 = time.perf_counter()
@@ -80,18 +77,20 @@ def main():
         # host transfer of a (B,) reduction = true completion sync: the
         # tunneled block_until_ready has been observed to return early
         # on small programs (scripts/probe_timing.py, CLAUDE.md)
-        float(np.asarray(o["outliers"]).sum())
+        float(np.asarray(o[:, -1]).sum())  # outliers column of the flat buffer
         ts.append(time.perf_counter() - t0)
     best = min(ts)
     # output quality sanity: smoothed pose vs truth (meters on root)
-    mk = np.asarray(jax.jit(jax.vmap(jax.vmap(cheetah.fk25)))(out["smoothed_x"]))
+    flat = np.asarray(out)
+    sz_s, sz_m = N * n_pose, N * 20 * 3
+    mk = flat[:, 6 * sz_s + sz_m:6 * sz_s + 2 * sz_m].reshape(B, N, 20, 3)
     mk_err = float(np.nanmean(np.linalg.norm(mk - pts3d[None], axis=-1)))
     print(json.dumps({
         "probe": "ekf_batched", "B": B, "N": N,
         "sec": round(best, 4), "runs_per_sec": round(B / best, 2),
         "compile_s": round(compile_s, 1),
         "mean_marker_err_m": round(mk_err, 4),
-        "outliers_mean": round(float(np.mean(np.asarray(out["outliers"]))), 1),
+        "outliers_mean": round(float(np.mean(flat[:, -1])), 1),
     }))
 
 
