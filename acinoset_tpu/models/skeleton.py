@@ -334,6 +334,135 @@ def build_skeleton_model(
         )
         return pts, J
 
+    # ---- DAG generalization of the analytic Jacobian (r5): the shipped
+    # human's two-parent hip composes BOTH parents' accumulated
+    # rotations into the part's frame, so an ancestor angle can reach a
+    # segment through two products and the per-part single-axis identity
+    # above breaks. The general form: every accumulated rotation is a
+    # statically-known ordered product of LOCAL atoms (simulate the link
+    # walk symbolically, snapshotting at composition time exactly like
+    # fk does), and for an angle occurrence inside that product the
+    # world rotation axis is a row of the SUFFIX product of the atoms to
+    # its right — per (segment, occurrence), not per part. Angles shared
+    # by both parent chains simply contribute one omega x v term per
+    # occurrence. Verified == jax.jacfwd(fk) on the shipped human
+    # (tests/test_generic_fte.py).
+    seqs = {p: (p,) for p in parts}
+    pos_chain: Dict[str, tuple] = {p: () for p in parts}
+    seg_frames_snap: List[tuple] = []
+    seg_offs: List[np.ndarray] = []
+    seg_parent: List[str] = []
+    for link in links:
+        if len(link) != 2:
+            continue
+        a, b = link
+        s_id = len(seg_frames_snap)
+        seg_frames_snap.append(seqs[a])
+        seg_offs.append(positions[b] - positions[a])
+        seg_parent.append(a)
+        seqs[b] = seqs[b] + seqs[a]
+        pos_chain[b] = pos_chain[a] + (s_id,)
+    S2 = len(seg_frames_snap)
+
+    occ = []  # (segment, pose column, kind, part, suffix-tail tuple)
+    for s in range(S2):
+        A = seg_frames_snap[s]
+        for i, q in enumerate(A):
+            hx, hy, hz = dofs[q]
+            qi = part_idx[q]
+            if hz:
+                occ.append((s, 3 + 2 * L + qi, "psi", q, A[i:]))
+            if hx:
+                occ.append((s, 3 + qi, "phi", q, A[i + 1:]))
+            if hy:
+                occ.append((s, 3 + L + qi, "theta", q, A[i + 1:]))
+    O3 = len(occ)
+    rows_chain = [set(pos_chain.get(name, ())) for name in row_order]
+    Wmask = np.zeros((Rrows, O3))
+    col_onehot = np.zeros((O3, n_pose))
+    occ_seg = np.asarray([s for (s, *_r) in occ], int)
+    for o, (s, col, _k, _q, _t) in enumerate(occ):
+        col_onehot[o, col] = 1.0
+        for ri in range(Rrows):
+            if s in rows_chain[ri]:
+                Wmask[ri, o] = 1.0
+    tails_sorted = sorted({t for (*_a, t) in occ}, key=len)
+
+    def fk_and_jac_dag(x):
+        x = jnp.asarray(x)
+        dtype = x.dtype
+        root = x[:3]
+        phi = x[3 : 3 + L]
+        theta = x[3 + L : 3 + 2 * L]
+        psi = x[3 + 2 * L :]
+        eye3 = jnp.eye(3, dtype=dtype)
+
+        loc = {}
+        rot: Dict[str, jnp.ndarray] = {}
+        for p in parts:
+            i = part_idx[p]
+            loc[p] = _local_rot(dofs[p], phi[i], theta[i], psi[i], dtype)
+            rot[p] = loc[p]
+
+        pose: Dict[str, jnp.ndarray] = {}
+        segs: List[jnp.ndarray] = []
+        for link in links:
+            if len(link) == 1:
+                pose[link[0]] = root
+                continue
+            a, b = link
+            if a not in pose:
+                pose[a] = root
+            off = jnp.asarray(positions[b] - positions[a], dtype=dtype)
+            parent_acc = rot[a]
+            rot[b] = mm3(rot[b], parent_acc)
+            v = mvT3(parent_acc, off)
+            segs.append(v)
+            pose[b] = pose[a] + v
+        pts = jnp.stack([pose.get(name, root) for name in row_order])
+        V = (jnp.stack(segs) if S2 else jnp.zeros((0, 3), dtype))
+
+        # suffix products of local atoms, shared across occurrences
+        # (every tail of a deeper tail is itself a needed tail or CSEd)
+        memo = {(): eye3}
+        for t in tails_sorted:  # shortest first -> inner tails usually hit
+            if t in memo:
+                continue
+            if t[1:] in memo:
+                memo[t] = mm3(loc[t[0]], memo[t[1:]])
+            else:
+                acc = eye3
+                for q in reversed(t):
+                    acc = mm3(loc[q], acc)
+                memo[t] = acc
+
+        omegas = []
+        for (s, _col, kind, q, tail) in occ:
+            Sfx = memo[tail]
+            if kind == "psi":
+                omegas.append(Sfx[2])
+            elif kind == "theta":
+                omegas.append(Sfx[1])
+            elif dofs[q][1]:  # phi with a theta dof: Ry(th)^T x
+                i = part_idx[q]
+                c, s_ = jnp.cos(theta[i]), jnp.sin(theta[i])
+                omegas.append(c * Sfx[0] - s_ * Sfx[2])
+            else:
+                omegas.append(Sfx[0])
+        if O3:
+            Wo = jnp.stack(omegas)  # (O3, 3)
+            Cx = jnp.cross(Wo, V[occ_seg])  # (O3, 3)
+            J = jnp.einsum(
+                "ro,ox,oa->rxa", jnp.asarray(Wmask, dtype), Cx,
+                jnp.asarray(col_onehot, dtype),
+            )
+        else:
+            J = jnp.zeros((Rrows, 3, n_pose), dtype)
+        J = J.at[:, :, jnp.asarray([0, 1, 2])].set(
+            jnp.broadcast_to(eye3, (Rrows, 3, 3))
+        )
+        return pts, J
+
     # measurement labels: the markers list (data-loading order). In
     # reference-compat mode FK rows are in pose-dict order while the
     # measurements stay in markers-list order — positional association
@@ -346,7 +475,11 @@ def build_skeleton_model(
         markers=(markers if markers else row_order),
         dofs=dofs,
         active_idx=np.asarray(sorted(active)),
-        fk_and_jac=(fk_and_jac if (compat == "tpu" and is_tree) else None),
+        fk_and_jac=(
+            fk_and_jac if (compat == "tpu" and is_tree)
+            else fk_and_jac_dag if compat == "tpu"
+            else None
+        ),
     )
 
 

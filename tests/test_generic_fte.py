@@ -137,6 +137,32 @@ def test_generic_fte_on_real_human_data(human_setup):
     assert np.median(err) < 4.0, np.median(err)
 
 
+def test_dag_analytic_fk_jacobian_matches_jacfwd(human_setup):
+    """The shipped human's link graph is non-tree (two-parent hip), so
+    its accumulated rotations are ordered products where one angle can
+    occur through two paths; the r5 DAG-generalized analytic Jacobian
+    (per-occurrence suffix-product axes, models/skeleton.py
+    fk_and_jac_dag) must equal jacfwd of the FK at machine precision —
+    and the primal must be the FK bit-for-bit (same walk)."""
+    skel, *_rest = human_setup
+    model = build_skeleton_model(skel)  # compat="tpu"
+    assert model.fk_and_jac is not None  # the DAG analytic path
+
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        x = jnp.asarray(np.concatenate([
+            rng.normal(scale=2.0, size=3),
+            rng.normal(scale=0.7, size=model.n_pose - 3),
+        ]))
+        pts_a, J_a = jax.jit(model.fk_and_jac)(x)
+        np.testing.assert_array_equal(
+            np.asarray(pts_a), np.asarray(jax.jit(model.fk)(x)))
+        J_ref = np.asarray(jax.jit(jax.jacfwd(model.fk))(x))
+        scale = max(np.abs(J_ref).max(), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(J_a), J_ref, atol=1e-12 * scale)
+
+
 def test_semianalytic_hj_parts_matches_jacfwd(human_setup):
     """fk_and_jac_any gives every skeleton the unassembled measurement
     path: for the reference-compat human model (no analytic FK

@@ -316,9 +316,11 @@ def test_sweep_generic_batched_tree_analytic():
 
 def test_sweep_generic_batched_human_fallback():
     """The shipped human skeleton has a non-tree link graph (two-parent
-    hip) — no analytic FK Jacobian, so the batched generic path uses the
-    synthesized jacfwd-over-FK-only hj_parts (fk_and_jac_any) and still
-    batches 2 ragged windows of the real shipped data in one program."""
+    hip); since r5 that gets the DAG-generalized analytic FK Jacobian,
+    but this test pins the jacfwd-over-FK-only FALLBACK (fk_and_jac
+    stripped — the reference-compat mode's path) still batching 2
+    ragged windows of the real shipped data in one program."""
+    from dataclasses import replace as dc_replace
     from glob import glob
 
     from acinoset_tpu.models.skeleton import build_skeleton_model
@@ -327,7 +329,8 @@ def test_sweep_generic_batched_human_fallback():
     REF = "/root/reference"
     skel = data_io.load_skeleton(f"{REF}/skeletons/new_human.pickle")
     model = build_skeleton_model(skel)
-    assert model.fk_and_jac is None  # the synthesized-Jacobian path
+    assert model.fk_and_jac is not None  # DAG analytic path exists (r5)
+    model = dc_replace(model, fk_and_jac=None)  # pin the jacfwd fallback
     k, d, r, t, _res = data_io.load_scene(f"{REF}/data/4_cam_scene_static_sba.json")
     fpaths = sorted(glob(f"{REF}/data/*.h5"))
     p2d = data_io.load_dlc_points(fpaths, markers=model.markers)
