@@ -186,8 +186,10 @@ def test_generic_skeleton_cheetah_pickle():
 
 def test_skeleton_analytic_jacobian():
     """Tree skeletons get an analytic FK Jacobian equal to jacfwd at
-    machine precision; multi-parent skeletons (the shipped human's
-    double-parent hip1) and reference-compat mode fall back to None."""
+    machine precision; since r5 multi-parent skeletons (the shipped
+    human's double-parent hip1) get the DAG-generalized analytic path
+    (per-occurrence suffix-product axes) — only reference-compat mode
+    falls back to jacfwd (fk_and_jac None)."""
     import glob
     import pickle
 
@@ -213,6 +215,15 @@ def test_skeleton_analytic_jacobian():
     with open("/root/reference/skeletons/human.pickle", "rb") as f:
         hd = pickle.load(f)
     mh = build_skeleton_model(hd)
-    assert mh.fk_and_jac is None  # hip1 has two parents — not a tree
+    assert mh.fk_and_jac is not None  # hip1 has two parents: DAG path
+    for _ in range(3):
+        x = jnp.asarray(rng.normal(scale=0.5, size=mh.n_pose))
+        np.testing.assert_array_equal(
+            np.asarray(mh.fk_and_jac(x)[0]), np.asarray(mh.fk(x))
+        )
+        np.testing.assert_allclose(
+            np.asarray(mh.fk_and_jac(x)[1]),
+            np.asarray(jax.jacfwd(mh.fk)(x)), atol=1e-12,
+        )
     mref = build_skeleton_model(sd, compat="reference")
     assert mref.fk_and_jac is None
