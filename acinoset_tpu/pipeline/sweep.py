@@ -112,6 +112,25 @@ def _pad_run(run: RunData, N: int, C: int):
 #: knee, chunking costs nothing.
 MAX_PROGRAM_BATCH = 96
 
+#: HBM working-set budget for the EKF chunk cap below (bytes). The v5e
+#: exposes 15.75G; 13G leaves headroom for the measurement buffers.
+EKF_HBM_BUDGET = 13e9
+
+
+def _ekf_mem_cap(N: int, n_pose: int) -> int:
+    """Largest per-program batch the EKF+RTS stage fits in HBM.
+
+    The filter/smoother history materializes ~9.5 full-state
+    (N, 3n, 3n) f32 buffers per run (calibrated from the measured OOM:
+    the 144-state human at B=96/N=300 demanded 22.65G = 236 MB/run,
+    docs/r05/bench_generic_n300.txt — 9.5 x 300 x 432^2 x 4B; the
+    known-good 75-state cheetah at B=96/N=600 fits at the same
+    coefficient: 12.3G < 15.75G, docs/r05/probe_ekf_n600_fix.txt).
+    Groups beyond the cap chunk through the existing _solve_chunked
+    path; results are identical (chunked == unchunked tests)."""
+    bytes_per_run = 9.5 * N * (3 * n_pose) ** 2 * 4
+    return max(1, int(EKF_HBM_BUDGET / bytes_per_run))
+
 
 def _solve_chunked(runs, max_batch, solve_chunk, X0_override=None):
     """Split an oversized group into <=max_batch chunks and solve each
@@ -875,9 +894,13 @@ def solve_batch_ekf(
     fps = runs[0].fps
     N = pad_frames or max(r.pixels.shape[1] for r in runs)
     C = pad_cams or max(r.pixels.shape[0] for r in runs)
-    if max_batch and len(runs) > max_batch:
+    # the HBM cap applies even at max_batch=None — it is a hard memory
+    # wall, not the throughput knee (see _ekf_mem_cap)
+    cap = _ekf_mem_cap(N, cheetah.N_ACTIVE)
+    eff_max = min(max_batch, cap) if max_batch else cap
+    if len(runs) > eff_max:
         return _solve_chunked(
-            runs, max_batch,
+            runs, eff_max,
             lambda chunk, _Xc: solve_batch_ekf(
                 chunk, dlc_thresh, dtype=dtype, mesh=mesh,
                 max_batch=None, pad_frames=N, pad_cams=C,
@@ -1081,9 +1104,15 @@ def solve_batch_ekf_generic(
     fps = runs[0].fps
     N = pad_frames or max(r.pixels.shape[1] for r in runs)
     C = pad_cams or max(r.pixels.shape[0] for r in runs)
-    if max_batch and len(runs) > max_batch:
+    # the HBM cap applies even at max_batch=None — it is a hard memory
+    # wall, not the throughput knee; large-state skeletons hit it well
+    # below the knee (human 144-state at N=300: cap ~55 vs the measured
+    # 22.65G OOM at B=96 — see _ekf_mem_cap)
+    cap = _ekf_mem_cap(N, model.n_pose)
+    eff_max = min(max_batch, cap) if max_batch else cap
+    if len(runs) > eff_max:
         return _solve_chunked(
-            runs, max_batch,
+            runs, eff_max,
             lambda chunk, _Xc: solve_batch_ekf_generic(
                 model, chunk, dlc_thresh, dtype=dtype,
                 init_marker=init_marker, meas_std_px=meas_std_px,

@@ -469,6 +469,19 @@ def test_sweep_generic_uncertainty():
         assert np.median(std) < 0.02, np.median(std)
 
 
+def test_ekf_mem_cap_pins_measured_envelope():
+    """The EKF HBM chunk cap must keep every measured-good config
+    unchunked and chunk the measured OOM config (the 144-state human at
+    B=96/N=300 demanded 22.65G of 15.75G HBM,
+    docs/r05/bench_generic_n300.txt)."""
+    from acinoset_tpu.pipeline.sweep import _ekf_mem_cap
+
+    assert _ekf_mem_cap(600, 25) >= 96   # cheetah N=600 ran at B=96
+    assert _ekf_mem_cap(100, 48) >= 96   # human N=100 ran at B=96
+    assert _ekf_mem_cap(300, 48) < 96    # the OOM config must chunk
+    assert _ekf_mem_cap(300, 48) * 9.5 * 300 * 144**2 * 4 < 15.75e9
+
+
 def test_sweep_generic_ekf_and_warm_start():
     """Generic-skeleton EKF stage (beyond the reference: build.py has no
     EKF) and the warm-started generic FTE batch built on it."""
