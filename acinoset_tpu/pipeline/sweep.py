@@ -453,26 +453,32 @@ def make_hj_parts_aux_generic(fk_and_jac):
 
 def _rescue_unconverged(results, label, num_iters, resolve):
     """Shared rescue policy (cheetah sweep + generic batch): runs whose
-    stationarity flag came back unconverged re-solve ONCE as their own
-    batch at 3x the iteration budget, warm-started from their current
-    solutions (the caller's ``resolve`` continues the graduated solve
-    with robust weights on from iteration 0). Only the failures pay;
-    a rescued run can honestly remain unconverged."""
-    bad = [i for i, r in enumerate(results) if not r["converged"]]
-    if not bad:
-        return results
-    print(f"rescue: {len(bad)} unconverged {label}runs re-solved at "
-          f"{3 * num_iters} iterations")
-    # pad the rescue batch to the next power of two (results of the
-    # repeated rows discarded): every distinct batch size is a fresh
-    # 3x-budget XLA compile — minutes each through the remote tunnel —
-    # so bucket the signatures instead of compiling one per failure
-    # count
-    n_pad = 1 << (len(bad) - 1).bit_length()
-    bad_p = bad + [bad[-1]] * (n_pad - len(bad))
-    rr = resolve(bad_p, [results[i]["x"] for i in bad_p], 3 * num_iters)
-    for i, res in zip(bad, rr[: len(bad)]):
-        results[i] = res
+    stationarity flag came back unconverged re-solve as their own batch,
+    warm-started from their current solutions (the caller's ``resolve``
+    continues the graduated solve with robust weights on from iteration
+    0). Two-stage budget since r5: a 1x continuation first — measured
+    at N=300/B=96 generic, the cold solutions already sit within 0.1%
+    of the optimum cost and the 1x continuation proves ALL 96
+    stationary (docs/r05/probe_generic_rescue_budget.txt), so the 3x
+    top-up only runs for genuine holdouts. Only the failures pay; a
+    rescued run can honestly remain unconverged."""
+    for mult in (1, 3):
+        bad = [i for i, r in enumerate(results) if not r["converged"]]
+        if not bad:
+            return results
+        print(f"rescue: {len(bad)} unconverged {label}runs re-solved at "
+              f"{mult * num_iters} iterations")
+        # pad the rescue batch to the next power of two (results of the
+        # repeated rows discarded): every distinct batch size is a fresh
+        # XLA compile — minutes each through the remote tunnel — so
+        # bucket the signatures instead of compiling one per failure
+        # count
+        n_pad = 1 << (len(bad) - 1).bit_length()
+        bad_p = bad + [bad[-1]] * (n_pad - len(bad))
+        rr = resolve(bad_p, [results[i]["x"] for i in bad_p],
+                     mult * num_iters)
+        for i, res in zip(bad, rr[: len(bad)]):
+            results[i] = res
     return results
 
 
